@@ -1,0 +1,29 @@
+"""Neighbour gather for EdgeConv.
+
+The reference builds an explicit (B, 2C, N, K) edge tensor and pushes it
+through 1x1 convs (reference model/dgcnn.py:26-42,113-119). On TPU we avoid
+materialising the 2C concat: the first 1x1 conv over concat([x_j - x_i, x_i])
+decomposes into two per-POINT matmuls plus a gather-add, cutting its FLOPs by
+the neighbourhood factor K (see models/dgcnn.py EdgeConvBlock). This module
+provides the gather primitive that remains.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather per-point neighbour features.
+
+    Args:
+      x:   (B, N, C) point features.
+      idx: (B, N, K) int32 neighbour indices into the N axis.
+    Returns:
+      (B, N, K, C) neighbour features.
+    """
+    b, n, c = x.shape
+    k = idx.shape[-1]
+    flat = idx.reshape(b, n * k)                              # (B, N*K)
+    out = jnp.take_along_axis(x, flat[..., None], axis=1)     # (B, N*K, C)
+    return out.reshape(b, n, k, c)

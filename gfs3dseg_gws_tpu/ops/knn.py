@@ -1,0 +1,107 @@
+"""k-nearest-neighbour graph construction for dynamic EdgeConv.
+
+Semantics match the reference kNN (reference model/dgcnn.py:17-23): similarity
+score = -squared-L2 distance, top-k of the score (self-match included, so the
+first neighbour of each point is usually itself).
+
+Two paths:
+  * `_knn_xla`    — pure XLA: (B,N,N) score matrix + `lax.top_k`. Used on CPU
+                    and as the reference for tests.
+  * `_knn_pallas` — fused Pallas TPU kernel: tiles over query points, keeps
+                    the score tile in VMEM and extracts the top-k by iterative
+                    max-and-mask, so the (N,N) matrix never round-trips
+                    through HBM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -jnp.inf
+
+
+def pairwise_sq_dists(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Squared L2 distances between rows of x (..., M, C) and y (..., N, C)."""
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)            # (..., M, 1)
+    yy = jnp.sum(y * y, axis=-1, keepdims=True)            # (..., N, 1)
+    xy = jnp.einsum("...mc,...nc->...mn", x, y,
+                    preferred_element_type=jnp.float32)    # (..., M, N)
+    return xx - 2.0 * xy + jnp.swapaxes(yy, -1, -2)
+
+
+def _knn_xla(x: jax.Array, k: int) -> jax.Array:
+    """x: (B, N, C) -> neighbour indices (B, N, k), nearest first."""
+    score = -pairwise_sq_dists(x, x)                       # (B, N, N)
+    _, idx = jax.lax.top_k(score, k)
+    return idx.astype(jnp.int32)
+
+
+def _topk_iterative(scores: jax.Array, k: int) -> jax.Array:
+    """Top-k indices along the last axis by k rounds of max-and-mask.
+
+    Runs inside the Pallas kernel where a full sort would be wasteful for
+    k << N. scores: (M, N) float32 -> (M, k) int32.
+    """
+    m, n = scores.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (m, n), dimension=1)
+
+    def body(carry, _):
+        s = carry
+        best = jnp.argmax(s, axis=-1).astype(jnp.int32)    # (M,)
+        s = jnp.where(col_ids == best[:, None], _NEG_INF, s)
+        return s, best
+
+    _, idxs = jax.lax.scan(body, scores, None, length=k)
+    return jnp.transpose(idxs)                              # (M, k)
+
+
+def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int):
+    q = x_tile_ref[0].astype(jnp.float32)                   # (TQ, C)
+    kk = x_all_ref[0].astype(jnp.float32)                   # (N, C)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)             # (TQ, 1)
+    kk2 = jnp.sum(kk * kk, axis=-1)[None, :]                # (1, N)
+    dots = jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
+    score = 2.0 * dots - qq - kk2                           # = -squared distance
+    out_ref[0] = _topk_iterative(score, k)
+
+
+def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512) -> jax.Array:
+    b, n, c = x.shape
+    tile_q = min(tile_q, n)
+    if n % tile_q != 0:
+        return _knn_xla(x, k)
+    grid = (b, n // tile_q)
+    kern = functools.partial(_knn_kernel, k=k)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, k), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+    )(x, x)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def knn_indices(x: jax.Array, k: int = 20, use_pallas: bool = True) -> jax.Array:
+    """Neighbour indices for each point.
+
+    Args:
+      x: point features, (B, N, C).
+      k: neighbours per point (self included).
+      use_pallas: fused TPU kernel when running on TPU.
+    Returns:
+      (B, N, k) int32 indices into the N axis, nearest first.
+    """
+    if use_pallas and jax.default_backend() == "tpu":
+        return _knn_pallas(x, k)
+    return _knn_xla(x, k)
