@@ -1,0 +1,33 @@
+"""Single-head self-attention over points.
+
+Semantics follow reference model/attention.py:10-48: bias-free QKV 1x1 convs,
+temperature sqrt(out_channels), dropout on the attention weights. Channel-last
+layout keeps both matmuls (N,C)x(C,N) and (N,N)x(N,C) on the MXU; XLA fuses
+the softmax into the chain.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SelfAttention(nn.Module):
+    out_channels: int = 64
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """x: (B, N, C_in) -> (B, N, out_channels)."""
+        q = nn.Dense(self.out_channels, use_bias=False, name="q_map")(x)
+        k = nn.Dense(self.out_channels, use_bias=False, name="k_map")(x)
+        v = nn.Dense(self.out_channels, use_bias=False, name="v_map")(x)
+
+        temperature = jnp.asarray(self.out_channels, x.dtype) ** 0.5
+        attn = jnp.einsum("bmc,bnc->bmn", q / temperature, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(rate=self.attn_dropout, deterministic=not train)(attn)
+        y = jnp.einsum("bmn,bnc->bmc", attn.astype(x.dtype), v,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return y

@@ -1,0 +1,87 @@
+"""Shared building blocks.
+
+A reference `nn.Conv1d(k=1)`/`nn.Conv2d(k=1)` is a per-point linear map, so
+here every "conv" is an `nn.Dense` over the trailing channel axis — on TPU
+that is exactly one MXU matmul, and XLA fuses the BatchNorm scale/shift and
+LeakyReLU into it.
+
+BatchNorm matches torch semantics (momentum 0.1 torch == 0.9 flax, eps 1e-5,
+running stats in the `batch_stats` collection).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LEAKY_SLOPE = 0.2  # reference uses LeakyReLU(0.2) everywhere
+
+
+def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalise along `axis` with torch F.normalize's eps clamp."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def leaky_relu(x: jax.Array) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+class BatchNorm(nn.BatchNorm):
+    """torch-compatible defaults."""
+
+    use_running_average: bool | None = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+
+class ConvBN(nn.Module):
+    """1x1 conv (Dense) + BatchNorm + optional LeakyReLU.
+
+    Mirrors reference conv1d/conv2d blocks (model/dgcnn.py:45-80).
+    """
+
+    features: int
+    use_bias: bool = False
+    relu: bool = True
+    relu_slope: float = LEAKY_SLOPE
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Dense(self.features, use_bias=self.use_bias, name="conv")(x)
+        x = BatchNorm(use_running_average=not train, name="bn")(x)
+        if self.relu:
+            x = nn.leaky_relu(x, negative_slope=self.relu_slope)
+        return x
+
+
+class MLPStack(nn.Module):
+    """Stack of ConvBN layers (reference conv1d with multiple widths)."""
+
+    widths: Sequence[int]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i, w in enumerate(self.widths):
+            x = ConvBN(w, use_bias=self.use_bias, name=f"layer{i}")(x, train)
+        return x
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array,
+                  ignore_index: int | None = None) -> jax.Array:
+    """Mean CE over points; logits (..., C), labels (...,) int.
+
+    Matches torch nn.CrossEntropyLoss(ignore_index=...) reduction semantics.
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if ignore_index is None:
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)  # keep the gather in-bounds
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    v = valid.astype(nll.dtype)
+    return jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1.0)
