@@ -1,0 +1,234 @@
+"""Compiled SPMD train/eval steps.
+
+Each factory returns one jitted function with explicit shardings: the batch is
+sharded over the mesh's `data` axis, everything else replicated. GSPMD inserts
+the gradient all-reduce and the cross-device reductions hidden inside
+BatchNorm / fake-prototype means / confusion matrices.
+
+The GFS evaluation step is the BASELINE.json "single XLA-compiled eval step":
+features -> GW coding -> transductive refine -> reweight -> argmax ->
+confusion-matrix update, with only (C, C) counts leaving the device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gfs3dseg_gws_tpu.ops.metrics import confusion_matrix
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt,
+        )
+
+
+def _shardings(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None, None
+    return NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
+
+
+def make_gfs_train_step(model, mesh: Optional[Mesh] = None,
+                        donate: bool = True) -> Callable:
+    """GFS base-stage train step (reference train.py:616-631 inner loop).
+
+    signature: (state, points (B,N,C), labels (B,N), gp, rng) ->
+               (state, loss, accuracy)
+    """
+
+    def step(state: TrainState, points, labels, gp, rng):
+        r_drop, r_fake = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            (pred, loss), upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, labels, gp, True,
+                rngs={"dropout": r_drop, "fake": r_fake},
+                mutable=["batch_stats"])
+            return loss, (pred, upd["batch_stats"])
+
+        (loss, (pred, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        accuracy = jnp.mean((pred == labels).astype(jnp.float32))
+        return new_state, loss, accuracy
+
+    data_s, rep_s = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        step,
+        in_shardings=(rep_s, data_s, data_s, rep_s, rep_s),
+        out_shardings=(rep_s, rep_s, rep_s),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_gfs_eval_step(model, num_classes: int,
+                       mesh: Optional[Mesh] = None) -> Callable:
+    """Fused GFS eval step: logits + argmax + confusion matrix on device.
+
+    signature: (variables, points, labels, gp, gened_proto, base_coding,
+                novel_coding) -> (cm (C,C), gp_acc, gp_novel_acc)
+    """
+
+    def step(variables, points, labels, gp, gened_proto, base_coding,
+             novel_coding):
+        logits, gp_acc, gp_nacc = model.apply(
+            variables, points, gp, gened_proto, base_coding, novel_coding,
+            labels, method="evaluate")
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, labels, num_classes)
+        return cm, gp_acc, gp_nacc
+
+    data_s, rep_s = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(rep_s, data_s, data_s, rep_s, rep_s, rep_s, rep_s),
+        out_shardings=(rep_s, rep_s, rep_s),
+    )
+
+
+def make_pretrain_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Supervised segmentation train step (reference pretrain pre_train.py:144-159).
+
+    signature: (state, points, labels, rng) -> (state, loss)
+    """
+    from gfs3dseg_gws_tpu.models.layers import cross_entropy
+
+    def step(state: TrainState, points, labels, rng):
+        r = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, True, rngs={"dropout": r}, mutable=["batch_stats"])
+            return cross_entropy(logits, labels), upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_bs), loss
+
+    data_s, rep_s = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(
+        step,
+        in_shardings=(rep_s, data_s, data_s, rep_s),
+        out_shardings=(rep_s, rep_s),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_logits_step(model, num_classes: int,
+                          mesh: Optional[Mesh] = None) -> Callable:
+    """Plain segmentor eval: logits -> argmax -> confusion matrix."""
+
+    def step(variables, points, labels):
+        logits = model.apply(variables, points, False)
+        pred = jnp.argmax(logits, axis=-1)
+        return confusion_matrix(pred, labels, num_classes)
+
+    data_s, rep_s = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(rep_s, data_s, data_s),
+                   out_shardings=rep_s)
+
+
+def make_feature_step(model, mesh: Optional[Mesh] = None,
+                      method: str = "get_features") -> Callable:
+    """Batched feature extraction (inference): returns the model method output."""
+
+    def step(variables, points, gp):
+        return model.apply(variables, points, gp, False, method=method)
+
+    data_s, rep_s = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(rep_s, data_s, rep_s),
+                   out_shardings=data_s)
+
+
+def make_coding_step(model, num_base: int,
+                     mesh: Optional[Mesh] = None) -> Callable:
+    """One accumulation step of base-class geometric-word coding collection
+    (reference train.py:156-218, vectorised over a BATCH of blocks).
+
+    For each base class c (label c+1): sum of per-point one-hot GW vectors and
+    point counts. For background (label 0): per-BLOCK mean GW vector + a
+    per-block bg-present count (the reference averages block means).
+
+    signature: (variables, points (B,N,Cin), labels (B,N), gp) ->
+        (cls_sums (num_base, K), cls_counts (num_base,),
+         bg_mean_sum (K,), bg_block_count ())
+    """
+
+    def step(variables, points, labels, gp):
+        _, _, gw = model.apply(variables, points, gp, False,
+                               method="get_features")      # (B, N, K)
+        onehot = jax.nn.one_hot(labels, num_base + 1, dtype=gw.dtype)
+        # class sums over all points of the batch
+        sums = jnp.einsum("bnc,bnk->ck", onehot, gw,
+                          preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=(0, 1))              # (num_base+1,)
+        # bg: mean per block, summed over blocks that contain bg points
+        bg_mask = onehot[..., 0]                           # (B, N)
+        bg_cnt_per_block = jnp.sum(bg_mask, axis=1)        # (B,)
+        bg_sum_per_block = jnp.einsum("bn,bnk->bk", bg_mask, gw,
+                                      preferred_element_type=jnp.float32)
+        has_bg = (bg_cnt_per_block > 0).astype(jnp.float32)
+        bg_means = bg_sum_per_block / jnp.maximum(
+            bg_cnt_per_block, 1.0)[:, None]
+        bg_mean_sum = jnp.einsum("b,bk->k", has_bg, bg_means)
+        return sums[1:], counts[1:], bg_mean_sum, jnp.sum(has_bg)
+
+    data_s, rep_s = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(rep_s, data_s, data_s, rep_s),
+                   out_shardings=(rep_s, rep_s, rep_s, rep_s))
+
+
+def make_fg_feat_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Support-shot foreground feature extraction for prototype registration
+    (reference train.py:266-277 via capl.py:71-88).
+
+    signature: (variables, points (1,N,Cin), mask (1,N), gp) ->
+        (fg_sum (C,), fg_count (), gw_hist (K,))
+    """
+
+    def step(variables, points, mask, gp):
+        return model.apply(variables, points, mask, gp, method="get_fg_feat")
+
+    if mesh is None:
+        return jax.jit(step)
+    _, rep_s = _shardings(mesh)
+    return jax.jit(step, in_shardings=(rep_s, rep_s, rep_s, rep_s),
+                   out_shardings=(rep_s, rep_s, rep_s))

@@ -1,0 +1,138 @@
+"""Multi-device SPMD tests on the virtual 8-CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfs3dseg_gws_tpu.models import GWCAPL, DGCNNSeg
+from gfs3dseg_gws_tpu.parallel import (
+    TrainState,
+    make_coding_step,
+    make_gfs_eval_step,
+    make_gfs_train_step,
+    make_gfs_optimizer,
+    make_mesh,
+    make_pretrain_step,
+    replicate,
+    shard_batch,
+)
+from gfs3dseg_gws_tpu.parallel.optim import make_pretrain_optimizer, step_lr
+
+B, N, CIN = 16, 64, 9
+NUM_GW = 12
+CLASSES, BASE = 13, 7
+
+
+def tiny_capl():
+    return GWCAPL(classes=CLASSES, base_num=BASE, num_gw=NUM_GW,
+                  edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+                  mlp_widths=(16, 16), base_widths=(8, 8), output_dim=8,
+                  main_dim=16, k=5, use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_capl()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, CIN))
+    y = jax.random.randint(jax.random.PRNGKey(2), (B, N), 0, BASE + 1)
+    gp = jax.random.normal(jax.random.PRNGKey(3), (NUM_GW, 24))
+    variables = model.init({"params": rng, "dropout": rng, "fake": rng},
+                           x, y, gp, train=True)
+    return model, variables, x, y, gp
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_step_lr_schedule():
+    sched = step_lr(0.01, step_size_epochs=50, gamma=0.5, steps_per_epoch=10)
+    assert sched(0) == 0.01
+    assert sched(499) == 0.01
+    assert sched(500) == 0.005
+    assert sched(1000) == 0.0025
+
+
+class TestShardedTraining:
+    def test_train_step_runs_and_matches_single_device(self, setup):
+        model, variables, x, y, gp = setup
+        mesh = make_mesh()
+        tx = make_gfs_optimizer(1e-3, steps_per_epoch=10)
+
+        # sharded
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx)
+        state_sh = replicate(state, mesh)
+        xb = shard_batch(x, mesh)
+        yb = shard_batch(y, mesh)
+        gpr = replicate(gp, mesh)
+        step_sh = make_gfs_train_step(model, mesh, donate=False)
+        rng = jax.random.PRNGKey(7)
+        # single device
+        state_1 = TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+        step_1 = make_gfs_train_step(model, mesh=None, donate=False)
+
+        # loss trajectories must agree across several steps. (Per-parameter
+        # equality is NOT expected: Adam normalises by |grad|, so float-noise
+        # differences on near-zero gradients flip update signs harmlessly.)
+        for i in range(3):
+            rng = jax.random.PRNGKey(7)
+            state_sh, loss_sh, acc_sh = step_sh(state_sh, xb, yb, gpr, rng)
+            state_1, loss_1, acc_1 = step_1(state_1, x, y, gp, rng)
+            np.testing.assert_allclose(float(loss_sh), float(loss_1),
+                                       rtol=2e-3)
+            np.testing.assert_allclose(float(acc_sh), float(acc_1), atol=0.02)
+
+    def test_eval_step_confusion(self, setup):
+        model, variables, x, y, gp = setup
+        mesh = make_mesh()
+        eval_step = make_gfs_eval_step(model, CLASSES, mesh)
+        gened = jax.random.normal(jax.random.PRNGKey(3), (CLASSES, 16))
+        bc = jnp.ones((BASE, NUM_GW))
+        nc = jnp.ones((CLASSES - BASE, NUM_GW))
+        cm, gp_acc, gp_nacc = eval_step(
+            replicate(variables, mesh), shard_batch(x, mesh),
+            shard_batch(y, mesh), *replicate((gp, gened, bc, nc), mesh))
+        cm = np.asarray(cm)
+        assert cm.shape == (CLASSES, CLASSES)
+        assert cm.sum() == B * N
+
+    def test_coding_step(self, setup):
+        model, variables, x, y, gp = setup
+        step = make_coding_step(model, BASE)
+        sums, counts, bg_sum, bg_blocks = step(variables, x, y, gp)
+        assert sums.shape == (BASE, NUM_GW)
+        assert counts.shape == (BASE,)
+        # counts match label histogram
+        for c in range(BASE):
+            assert int(counts[c]) == int(np.sum(np.asarray(y) == c + 1))
+        # each class GW histogram sums to its point count
+        np.testing.assert_allclose(np.asarray(sums).sum(-1),
+                                   np.asarray(counts), rtol=1e-5)
+
+
+class TestPretrainStep:
+    def test_loss_decreases_sharded(self):
+        mesh = make_mesh()
+        model = DGCNNSeg(num_classes=BASE + 1,
+                         edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+                         mlp_widths=(16, 16), k=5, use_pallas=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, N, CIN))
+        y = jax.random.randint(jax.random.PRNGKey(1), (B, N), 0, BASE + 1)
+        variables = model.init({"params": jax.random.PRNGKey(2),
+                                "dropout": jax.random.PRNGKey(3)}, x, True)
+        tx = make_pretrain_optimizer(1e-3, steps_per_epoch=10)
+        state = replicate(TrainState.create(variables["params"],
+                                            variables["batch_stats"], tx),
+                          mesh)
+        step = make_pretrain_step(model, mesh)
+        xb, yb = shard_batch(x, mesh), shard_batch(y, mesh)
+        rng = jax.random.PRNGKey(5)
+        losses = []
+        for _ in range(6):
+            state, loss = step(state, xb, yb, rng)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
