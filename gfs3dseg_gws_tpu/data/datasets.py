@@ -1,0 +1,228 @@
+"""Dataset views over prepared block directories.
+
+Parity targets:
+  * PretrainBlockDataset  — reference dataloaders/loader.py:159-264
+    (MyPretrainDataset / MyPretrainDataset_CheckBasis).
+  * ValSuppDataset        — loader.py:269-421: one-time materialisation of the
+    static support set `ValSupp_S{fold}_K{shot}_Seed{seed}/{pcd,mask,
+    segment_label}/*.pkl`, then reads from it forever.
+  * TestingDataset        — loader.py:426-556: one-time materialisation of
+    `static_test_{npts}/{pcd,label,segment_label}/*.pkl`; labels re-mapped
+    from class-name order to learning order at read time.
+
+All return channel-LAST (N, C) arrays (the TPU layout); the reference's
+(C, N) transpose happens only in its torch collate.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gfs3dseg_gws_tpu.data.registry import DatasetRegistry, make_registry
+from gfs3dseg_gws_tpu.data.sampler import sample_k_pointclouds, sample_pointcloud
+
+
+class PretrainBlockDataset:
+    """All blocks of the given classes; uniform 2048-pt sampling per block."""
+
+    def __init__(self, data_path: str, classes: Sequence, class2scans: Dict,
+                 mode: str = "train", num_point: int = 2048,
+                 pc_attribs: str = "xyzrgbXYZ", pc_augm: bool = False,
+                 pc_augm_config: Optional[Dict] = None,
+                 use_all_classes: bool = False, split_ratio: float = 0.0):
+        """split_ratio=0 reproduces the top-level MyPretrainDataset (train
+        mode uses ALL blocks, loader.py:190-191); split_ratio=0.1 reproduces
+        the pretrain-tree 90/10 variant (pretrain/dataloaders/loader.py:
+        398-399)."""
+        self.data_path = data_path
+        self.classes = list(classes)
+        self.num_point = num_point
+        self.pc_attribs = pc_attribs
+        self.pc_augm = pc_augm
+        self.pc_augm_config = pc_augm_config
+        self.use_all_classes = use_all_classes
+
+        train_block_names: List[str] = []
+        all_block_names: List[str] = []
+        for _, v in sorted(class2scans.items()):
+            all_block_names.extend(v)
+            n_blocks = len(v)
+            n_test = int(n_blocks * split_ratio) if split_ratio else int(
+                n_blocks * 0.1)
+            train_block_names.extend(v[: n_blocks - n_test])
+
+        if mode == "train":
+            if split_ratio:
+                self.block_names = sorted(set(train_block_names))
+            else:
+                self.block_names = sorted(set(all_block_names))
+        elif mode == "test":
+            self.block_names = sorted(
+                set(all_block_names) - set(train_block_names))
+        else:
+            raise NotImplementedError("Mode is unknown!")
+
+    def __len__(self):
+        return len(self.block_names)
+
+    def __getitem__(self, index: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        pc, label, seg = sample_pointcloud(
+            self.data_path, self.num_point, self.pc_attribs, self.pc_augm,
+            self.pc_augm_config, self.block_names[index], self.classes,
+            random_sample=True, use_all_classes=self.use_all_classes, rng=rng)
+        return pc, label.astype(np.int64), seg
+
+
+class ValSuppDataset:
+    """Static K-shot support set for the novel classes (binary masks)."""
+
+    def __init__(self, data_path: str, dataset_name: str, cvfold: int = 0,
+                 k_shot: int = 5, mode: str = "test", num_point: int = 2048,
+                 pc_attribs: str = "xyzrgbXYZ", seed: int = 1,
+                 learning_order: Optional[Sequence[int]] = None,
+                 registry: Optional[DatasetRegistry] = None):
+        self.data_path = data_path
+        self.k_shot = k_shot
+        self.num_point = num_point
+        self.pc_attribs = pc_attribs
+        self.seed = seed
+        self.cvfold = cvfold
+        self.learning_order = list(learning_order) if learning_order else None
+
+        ds = registry or make_registry(dataset_name, cvfold, data_path)
+        classes = ds.train_classes if mode == "train" else ds.test_classes
+        self.classes = np.sort(np.array(classes))
+        self.class2scans = ds.class2scans
+
+        self.save_path = os.path.join(
+            self.data_path, f"ValSupp_S{cvfold}_K{k_shot}_Seed{seed}")
+        self.data_list = self._initialize()
+
+    def _initialize(self) -> List[str]:
+        if not os.path.exists(self.save_path):
+            self._generate_episode()
+        return sorted(os.listdir(os.path.join(self.save_path, "pcd")))
+
+    def _generate_episode(self):
+        """Materialise k_shot support blocks per novel class
+        (loader.py:373-421). Seeded identically (np.random seed = self.seed);
+        scans already used by one class are blacklisted for the next."""
+        rng = np.random.default_rng(self.seed)
+        # reproduce reference nesting: np.random.seed(seed) then
+        # np.random.choice — we use a Generator with the same seed; the
+        # static fixture is regenerated once and fixed thereafter.
+        black_list: List[str] = []
+        for sampled_class in self.classes:
+            names = [s for s in self.class2scans[int(sampled_class)]
+                     if s not in black_list]
+            selected = rng.choice(names, self.k_shot, replace=False)
+            black_list.extend(selected)
+            pcs, masks, segs = sample_k_pointclouds(
+                self.data_path, self.num_point, self.pc_attribs, False, None,
+                selected, int(sampled_class), self.classes, is_support=True,
+                rng=rng)
+            for sub in ("pcd", "mask", "segment_label"):
+                os.makedirs(os.path.join(self.save_path, sub), exist_ok=True)
+            for k in range(self.k_shot):
+                stem = f"class{int(sampled_class)}_{k}.pkl"
+                for sub, arr in (("pcd", pcs[k]), ("mask", masks[k]),
+                                 ("segment_label", segs[k])):
+                    with open(os.path.join(self.save_path, sub, stem),
+                              "wb") as f:
+                        pickle.dump(arr, f)
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def __getitem__(self, index: int
+                    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Returns (pcd (N, 9), mask (N,), class learning-order index)."""
+        name = self.data_list[index]
+        with open(os.path.join(self.save_path, "pcd", name), "rb") as f:
+            pcd = pickle.load(f)
+        with open(os.path.join(self.save_path, "mask", name), "rb") as f:
+            mask = pickle.load(f)
+        cls = int(name.split("_")[0][5:])
+        if self.learning_order is not None:
+            cls = self.learning_order.index(cls)
+        return (pcd.astype(np.float32), mask.astype(np.float32), cls)
+
+
+class TestingDataset:
+    """Static full-class query sweep (`static_test_{npts}`)."""
+
+    def __init__(self, data_path: str, class_names: Sequence[int],
+                 learning_order: Sequence[int], class2scans: Dict,
+                 mode: str = "test", num_point: int = 2048,
+                 pc_attribs: str = "xyzrgbXYZ", seed: int = 321):
+        if mode != "test":
+            raise NotImplementedError("this dataset is only for testing!")
+        self.data_path = data_path
+        self.classes = list(class_names)
+        self.learning_order = list(learning_order)
+        self.num_point = num_point
+        self.pc_attribs = pc_attribs
+        self.seed = seed
+
+        all_block_names: List[str] = []
+        for _, v in sorted(class2scans.items()):
+            all_block_names.extend(v)
+        self.block_names = sorted(set(all_block_names))
+
+        self.save_path = os.path.join(self.data_path,
+                                      f"static_test_{num_point}")
+        self.data_list = self._initialize()
+        assert len(self.data_list) == len(os.listdir(
+            os.path.join(self.save_path, "pcd")))
+
+    def _initialize(self) -> List[str]:
+        if not os.path.exists(self.save_path):
+            self._create_static()
+        names = os.listdir(os.path.join(self.save_path, "pcd"))
+        return sorted(names, key=lambda s: int(s.split(".")[0]))
+
+    def _create_static(self):
+        """Materialise every block in the test dir once (loader.py:491-521);
+        labels stored in class-NAME order."""
+        rng = np.random.default_rng(self.seed)
+        src = os.path.join(self.data_path, "data")
+        block_list = sorted(os.listdir(src))
+        for sub in ("pcd", "label", "segment_label"):
+            os.makedirs(os.path.join(self.save_path, sub), exist_ok=True)
+        for i, fname in enumerate(block_list):
+            block_name = fname[:-4]
+            pcd, label, seg = sample_pointcloud(
+                self.data_path, self.num_point, self.pc_attribs, False, None,
+                block_name, self.classes, random_sample=True,
+                use_all_classes=True, rng=rng)
+            for sub, arr in (("pcd", pcd), ("label", label),
+                             ("segment_label", seg)):
+                with open(os.path.join(self.save_path, sub, f"{i}.pkl"),
+                          "wb") as f:
+                    pickle.dump(arr, f)
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def __getitem__(self, index: int
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (pcd (N, 9), label in LEARNING order (N,), segment (N,))."""
+        name = self.data_list[index]
+        with open(os.path.join(self.save_path, "pcd", name), "rb") as f:
+            pcd = pickle.load(f)
+        with open(os.path.join(self.save_path, "label", name), "rb") as f:
+            label = pickle.load(f)
+        # class-name order -> learning order (loader.py:543-550)
+        final = np.zeros_like(label)
+        for cls in np.unique(label):
+            final[label == cls] = self.learning_order.index(cls)
+        with open(os.path.join(self.save_path, "segment_label", name),
+                  "rb") as f:
+            seg = pickle.load(f)
+        return (pcd.astype(np.float32), final.astype(np.int64),
+                seg.astype(np.float32))
