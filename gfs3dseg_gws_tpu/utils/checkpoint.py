@@ -1,0 +1,287 @@
+"""Checkpoint I/O.
+
+Native format: a single .npz holding the flattened pytree ("/"-joined paths)
+plus a small JSON header — dependency-free, memory-mappable, and safe to load
+(no pickled code).
+
+Torch converters cover the reference's three formats (SURVEY.md §5):
+  1. pretrain `checkpoint.tar` = {'params': encoder.state_dict()}
+     (reference util/checkpoint_util.py:9-23,46-47);
+  2. GFS model {'epoch','state_dict','optimizer','max_iou'}
+     (reference util/checkpoint_util.py:25-44, train.py:561);
+  3. side artifacts: pickled basis / torch-saved coding tensors.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+# --------------------------------------------------------------------------- #
+# native npz checkpoints
+# --------------------------------------------------------------------------- #
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    return str(p)
+
+
+def save_checkpoint(path: str, tree, meta: Optional[Dict[str, Any]] = None):
+    """Save a pytree (+ JSON-serialisable metadata) to one .npz file."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(tree)
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
+    """Load the flat dict and metadata back."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files if k != "__meta__"}
+        meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in \
+            z.files else {}
+    return flat, meta
+
+
+def restore_into(target_tree, flat: Dict[str, np.ndarray], strict: bool = True):
+    """Rebuild a pytree with `target_tree`'s structure from a flat dict.
+
+    strict=False skips missing keys (keeps target values), like the
+    reference's intersect-and-load (util/checkpoint_util.py:14-18).
+    """
+    paths, treedef = jax.tree_util.tree_flatten_with_path(target_tree)
+    leaves = []
+    for path, leaf in paths:
+        key = "/".join(_path_str(p) for p in path)
+        if key in flat:
+            val = flat[key]
+            if val.shape != np.asarray(leaf).shape:
+                raise ValueError(
+                    f"shape mismatch for {key}: ckpt {val.shape} vs "
+                    f"model {np.asarray(leaf).shape}")
+            leaves.append(val.astype(np.asarray(leaf).dtype))
+        elif strict:
+            raise KeyError(f"missing checkpoint key: {key}")
+        else:
+            leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# --------------------------------------------------------------------------- #
+# torch-format converters
+# --------------------------------------------------------------------------- #
+
+def _to_np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv_kernel(w) -> np.ndarray:
+    """torch conv1x1 weight (out, in, 1[, 1]) -> Dense kernel (in, out)."""
+    w = _to_np(w)
+    return w.reshape(w.shape[0], w.shape[1]).T
+
+
+def _bn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": _to_np(sd[f"{prefix}.weight"]),
+              "bias": _to_np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _to_np(sd[f"{prefix}.running_mean"]),
+             "var": _to_np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def convert_torch_dgcnn_encoder(sd: Dict, n_edgeconv: int = 3,
+                                widths_per_block: int = 2,
+                                n_mlp: int = 2) -> Tuple[Dict, Dict]:
+    """Map a torch DGCNN state dict (keys like `edge_convs.0.layer.0.weight`)
+    onto our DGCNN params/batch_stats subtrees.
+
+    The reference Sequential interleaves [Conv, BN, LeakyReLU] per width, so
+    width j uses indices 3j (conv) and 3j+1 (bn).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_edgeconv):
+        blk_p: Dict[str, Any] = {}
+        blk_s: Dict[str, Any] = {}
+        base = f"edge_convs.{i}.layer"
+        # first width: decomposed kernel, shape (2C, w0)
+        blk_p["layer0_kernel"] = _conv_kernel(sd[f"{base}.0.weight"])
+        bn_p, bn_s = _bn(sd, f"{base}.1")
+        blk_p["layer0_bn"] = bn_p
+        blk_s["layer0_bn"] = bn_s
+        for j in range(1, widths_per_block):
+            lp: Dict[str, Any] = {
+                "conv": {"kernel": _conv_kernel(sd[f"{base}.{3*j}.weight"])}}
+            bn_p, bn_s = _bn(sd, f"{base}.{3*j+1}")
+            lp["bn"] = bn_p
+            blk_p[f"layer{j}"] = lp
+            blk_s[f"layer{j}"] = {"bn": bn_s}
+        params[f"edgeconv{i}"] = blk_p
+        stats[f"edgeconv{i}"] = blk_s
+
+    mlp_p: Dict[str, Any] = {}
+    mlp_s: Dict[str, Any] = {}
+    for j in range(n_mlp):
+        lp = {"conv": {"kernel": _conv_kernel(sd[f"conv.layer.{3*j}.weight"])}}
+        bn_p, bn_s = _bn(sd, f"conv.layer.{3*j+1}")
+        lp["bn"] = bn_p
+        mlp_p[f"layer{j}"] = lp
+        mlp_s[f"layer{j}"] = {"bn": bn_s}
+    params["mlp"] = mlp_p
+    stats["mlp"] = mlp_s
+    return params, stats
+
+
+def convert_torch_base_learner(sd: Dict, prefix: str = "base_learner",
+                               n: int = 2) -> Tuple[Dict, Dict]:
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n):
+        params[f"conv{i}"] = {
+            "kernel": _conv_kernel(sd[f"{prefix}.convs.{i}.0.weight"]),
+            "bias": _to_np(sd[f"{prefix}.convs.{i}.0.bias"])}
+        bn_p, bn_s = _bn(sd, f"{prefix}.convs.{i}.1")
+        params[f"bn{i}"] = bn_p
+        stats[f"bn{i}"] = bn_s
+    return params, stats
+
+
+def convert_torch_attention(sd: Dict, prefix: str = "att_learner") -> Dict:
+    return {name: {"kernel": _conv_kernel(sd[f"{prefix}.{name}.weight"])}
+            for name in ("q_map", "k_map", "v_map")}
+
+
+def convert_torch_segmenter(sd: Dict, prefix: str = "segmenter"
+                            ) -> Tuple[Dict, Dict]:
+    """Sequential: conv0(no bias),bn0,relu,conv1,bn1,relu,dropout,conv2."""
+    params: Dict[str, Any] = {
+        "conv0": {"kernel": _conv_kernel(sd[f"{prefix}.0.weight"])},
+        "conv1": {"kernel": _conv_kernel(sd[f"{prefix}.3.weight"]),
+                  "bias": _to_np(sd[f"{prefix}.3.bias"])},
+        "conv2": {"kernel": _conv_kernel(sd[f"{prefix}.7.weight"]),
+                  "bias": _to_np(sd[f"{prefix}.7.bias"])},
+    }
+    stats: Dict[str, Any] = {}
+    bn_p, bn_s = _bn(sd, f"{prefix}.1")
+    params["bn0"] = bn_p
+    stats["bn0"] = bn_s
+    bn_p, bn_s = _bn(sd, f"{prefix}.4")
+    params["bn1"] = bn_p
+    stats["bn1"] = bn_s
+    return params, stats
+
+
+def load_torch_pretrain_checkpoint(path: str) -> Tuple[Dict, Dict]:
+    """Reference `checkpoint.tar` -> (encoder params, encoder batch_stats)
+    subtrees for DGCNN (to be merged under 'encoder')."""
+    import torch
+
+    ckpt = torch.load(os.path.join(path, "checkpoint.tar")
+                      if os.path.isdir(path) else path,
+                      map_location="cpu", weights_only=True)
+    return convert_torch_dgcnn_encoder(ckpt["params"])
+
+
+def load_torch_gfs_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
+    """Reference GFS model .pth -> (params, batch_stats, meta) for GWCAPL."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt["state_dict"]
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    enc_p, enc_s = convert_torch_dgcnn_encoder(enc_sd)
+    bl_p, bl_s = convert_torch_base_learner(sd)
+    params: Dict[str, Any] = {
+        "encoder": enc_p,
+        "base_learner": bl_p,
+        "att_learner": convert_torch_attention(sd),
+        "fusion": {"kernel": _conv_kernel(sd["fusion.0.weight"]),
+                   "bias": _to_np(sd["fusion.0.bias"])},
+        "main_proto": _to_np(sd["main_proto"]),
+        "bg_proto": _to_np(sd["bg_proto"]),
+    }
+    fus_bn_p, fus_bn_s = _bn(sd, "fusion.1")
+    params["fusion_bn"] = fus_bn_p
+    stats: Dict[str, Any] = {"encoder": enc_s, "base_learner": bl_s,
+                             "fusion_bn": fus_bn_s}
+    meta = {"epoch": int(ckpt.get("epoch", 0)),
+            "max_iou": float(ckpt.get("max_iou", 0.0))}
+    return params, stats, meta
+
+
+def save_torch_pretrain_checkpoint(encoder_params: Dict, encoder_stats: Dict,
+                                   out_dir: str):
+    """Export our DGCNN encoder back to the reference `checkpoint.tar`
+    format so reference tooling can consume TPU-trained backbones."""
+    import torch
+
+    sd = {}
+
+    def put_convbn(base_t, conv_kernel, bn_p, bn_s, conv2d: bool):
+        w = np.asarray(conv_kernel).T
+        w = w.reshape(w.shape + ((1, 1) if conv2d else (1,)))
+        sd[f"{base_t}.weight"] = torch.from_numpy(np.ascontiguousarray(w))
+
+    def put_bn(base_t, p, s):
+        sd[f"{base_t}.weight"] = torch.from_numpy(np.asarray(p["scale"]))
+        sd[f"{base_t}.bias"] = torch.from_numpy(np.asarray(p["bias"]))
+        sd[f"{base_t}.running_mean"] = torch.from_numpy(np.asarray(s["mean"]))
+        sd[f"{base_t}.running_var"] = torch.from_numpy(np.asarray(s["var"]))
+        sd[f"{base_t}.num_batches_tracked"] = torch.tensor(0)
+
+    for i in range(3):
+        blk_p = encoder_params[f"edgeconv{i}"]
+        blk_s = encoder_stats[f"edgeconv{i}"]
+        base = f"edge_convs.{i}.layer"
+        put_convbn(f"{base}.0", blk_p["layer0_kernel"], None, None, True)
+        put_bn(f"{base}.1", blk_p["layer0_bn"], blk_s["layer0_bn"])
+        j = 1
+        while f"layer{j}" in blk_p:
+            put_convbn(f"{base}.{3*j}", blk_p[f"layer{j}"]["conv"]["kernel"],
+                       None, None, True)
+            put_bn(f"{base}.{3*j+1}", blk_p[f"layer{j}"]["bn"],
+                   blk_s[f"layer{j}"]["bn"])
+            j += 1
+    for j in range(2):
+        put_convbn(f"conv.layer.{3*j}",
+                   encoder_params["mlp"][f"layer{j}"]["conv"]["kernel"],
+                   None, None, False)
+        put_bn(f"conv.layer.{3*j+1}", encoder_params["mlp"][f"layer{j}"]["bn"],
+               encoder_stats["mlp"][f"layer{j}"]["bn"])
+
+    import torch
+    os.makedirs(out_dir, exist_ok=True)
+    torch.save({"params": sd}, os.path.join(out_dir, "checkpoint.tar"))
+
+
+def load_basis(path: str) -> np.ndarray:
+    """Pickled geometric-word basis (reference get_basis.py:219-222)."""
+    with open(path, "rb") as f:
+        return np.asarray(pickle.load(f), dtype=np.float32)
+
+
+def save_basis(path: str, basis: np.ndarray):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(np.asarray(basis), f)
