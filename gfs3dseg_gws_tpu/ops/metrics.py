@@ -14,14 +14,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def confusion_matrix(pred: jax.Array, gt: jax.Array, num_classes: int) -> jax.Array:
+def confusion_matrix(pred: jax.Array, gt: jax.Array, num_classes: int,
+                     mask: jax.Array | None = None) -> jax.Array:
     """Confusion counts cm[gt, pred] over all elements.
 
     Implemented as a one-hot matmul so it rides the MXU instead of scatters.
-    pred/gt: integer arrays of identical shape. Returns (C, C) float32.
+    pred/gt: integer arrays of identical shape. `mask` (same shape, optional)
+    zeroes out excluded elements (e.g. padding rows of a final short batch).
+    Returns (C, C) float32.
     """
     p = jax.nn.one_hot(pred.reshape(-1), num_classes, dtype=jnp.float32)
     g = jax.nn.one_hot(gt.reshape(-1), num_classes, dtype=jnp.float32)
+    if mask is not None:
+        g = g * mask.reshape(-1, 1).astype(jnp.float32)
     return jnp.einsum("mc,md->cd", g, p, preferred_element_type=jnp.float32)
 
 

@@ -97,12 +97,14 @@ def make_gfs_eval_step(model, num_classes: int,
     """
 
     def step(variables, points, labels, gp, gened_proto, base_coding,
-             novel_coding):
+             novel_coding, valid):
         logits, gp_acc, gp_nacc = model.apply(
             variables, points, gp, gened_proto, base_coding, novel_coding,
             labels, method="evaluate")
         pred = jnp.argmax(logits, axis=-1)
-        cm = confusion_matrix(pred, labels, num_classes)
+        row_ok = (jnp.arange(points.shape[0]) < valid)
+        mask = jnp.broadcast_to(row_ok[:, None], labels.shape)
+        cm = confusion_matrix(pred, labels, num_classes, mask)
         return cm, gp_acc, gp_nacc
 
     data_s, rep_s = _shardings(mesh)
@@ -110,7 +112,8 @@ def make_gfs_eval_step(model, num_classes: int,
         return jax.jit(step)
     return jax.jit(
         step,
-        in_shardings=(rep_s, data_s, data_s, rep_s, rep_s, rep_s, rep_s),
+        in_shardings=(rep_s, data_s, data_s, rep_s, rep_s, rep_s, rep_s,
+                      rep_s),
         out_shardings=(rep_s, rep_s, rep_s),
     )
 
@@ -150,15 +153,17 @@ def make_eval_logits_step(model, num_classes: int,
                           mesh: Optional[Mesh] = None) -> Callable:
     """Plain segmentor eval: logits -> argmax -> confusion matrix."""
 
-    def step(variables, points, labels):
+    def step(variables, points, labels, valid):
         logits = model.apply(variables, points, False)
         pred = jnp.argmax(logits, axis=-1)
-        return confusion_matrix(pred, labels, num_classes)
+        row_ok = (jnp.arange(points.shape[0]) < valid)
+        mask = jnp.broadcast_to(row_ok[:, None], labels.shape)
+        return confusion_matrix(pred, labels, num_classes, mask)
 
     data_s, rep_s = _shardings(mesh)
     if mesh is None:
         return jax.jit(step)
-    return jax.jit(step, in_shardings=(rep_s, data_s, data_s),
+    return jax.jit(step, in_shardings=(rep_s, data_s, data_s, rep_s),
                    out_shardings=rep_s)
 
 

@@ -1,0 +1,487 @@
+"""GFS base-stage training + generalized few-shot evaluation.
+
+TPU re-design of reference train.py:309-731:
+  * all compute (training, coding collection, prototype registration,
+    evaluation incl. the confusion matrix) runs as a handful of jitted SPMD
+    steps on a data mesh; the host only orchestrates and accumulates tiny
+    reductions;
+  * base-class geometric-word codings are re-estimated every
+    `coding_interval` epochs over the no-augmentation loader (train.py:512);
+  * novel prototypes register from the 5 static support seeds (train.py:363);
+  * checkpoints select on mean-mIoU (before/after epoch 100 separately) and
+    harmonic-mean mIoU (train.py:555-584).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfs3dseg_gws_tpu.data.datasets import (
+    PretrainBlockDataset,
+    TestingDataset,
+    ValSuppDataset,
+)
+from gfs3dseg_gws_tpu.data.pipeline import batch_iterator
+from gfs3dseg_gws_tpu.data.registry import make_registry
+from gfs3dseg_gws_tpu.models.capl import GWCAPL
+from gfs3dseg_gws_tpu.models.layers import l2norm
+from gfs3dseg_gws_tpu.ops.coding import energy_multihot
+from gfs3dseg_gws_tpu.ops.metrics import gfs_miou
+from gfs3dseg_gws_tpu.parallel import (
+    TrainState,
+    make_coding_step,
+    make_fg_feat_step,
+    make_gfs_eval_step,
+    make_gfs_train_step,
+    make_gfs_optimizer,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from gfs3dseg_gws_tpu.utils.checkpoint import (
+    load_basis,
+    load_checkpoint,
+    load_torch_gfs_checkpoint,
+    load_torch_pretrain_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+from gfs3dseg_gws_tpu.utils.logging import AverageMeter, IOStream, init_logger
+
+
+# --------------------------------------------------------------------------- #
+# setup helpers
+# --------------------------------------------------------------------------- #
+
+@dataclass
+class GFSSetup:
+    model: GWCAPL
+    gp: jnp.ndarray
+    registry_test: object
+    registry_train: object
+    train_class_names: List[int]
+    test_class_names: List[int]
+    all_learning_order: List[int]
+    all_class_names: List[int]
+    test_learning_order_idx: List[int]
+    val_dataset: TestingDataset
+    supp_datasets: List[ValSuppDataset]
+    train_data: PretrainBlockDataset
+    train_data_noaug: PretrainBlockDataset
+
+
+def build_setup(model_cfg, data_cfg, train_cfg, basis: np.ndarray) -> GFSSetup:
+    """Datasets + class orderings exactly as reference train.py:328-415."""
+    reg_test = make_registry(data_cfg.dataset, data_cfg.cvfold,
+                             data_cfg.testing_data_path)
+    train_class_names = sorted(reg_test.train_classes)
+    test_class_names = sorted(reg_test.test_classes)
+    all_learning_order = train_class_names + test_class_names
+    all_class_names = sorted(all_learning_order)
+    test_learning_order_idx = [all_learning_order.index(c)
+                               for c in test_class_names]
+
+    test_c2s = {c: reg_test.class2scans[c] for c in all_class_names}
+    val_dataset = TestingDataset(
+        data_cfg.testing_data_path, all_class_names, all_learning_order,
+        test_c2s, mode="test", num_point=data_cfg.pc_npts,
+        pc_attribs=data_cfg.pc_attribs)
+
+    reg_train = make_registry(data_cfg.dataset, data_cfg.cvfold,
+                              data_cfg.data_path)
+    supp_datasets = [
+        ValSuppDataset(data_cfg.data_path, data_cfg.dataset,
+                       cvfold=data_cfg.cvfold, k_shot=data_cfg.k_shot,
+                       mode="test", num_point=data_cfg.pc_npts,
+                       pc_attribs=data_cfg.pc_attribs, seed=seed,
+                       learning_order=all_learning_order, registry=reg_train)
+        for seed in data_cfg.support_seeds
+    ]
+
+    train_c2s = {c: reg_train.class2scans[c] for c in train_class_names}
+    train_data = PretrainBlockDataset(
+        data_cfg.data_path, train_class_names, train_c2s, mode="train",
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs,
+        pc_augm=data_cfg.pc_augm, pc_augm_config=data_cfg.augment_config)
+    train_data_noaug = PretrainBlockDataset(
+        data_cfg.data_path, train_class_names, train_c2s, mode="train",
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs,
+        pc_augm=False)
+
+    model = GWCAPL(
+        classes=len(all_class_names), base_num=len(train_class_names),
+        num_gw=basis.shape[0], main_dim=model_cfg.main_dim,
+        energy=train_cfg.energy, eval_weight=train_cfg.eval_weight,
+        edgeconv_widths=model_cfg.edgeconv_widths,
+        mlp_widths=model_cfg.dgcnn_mlp_widths,
+        base_widths=model_cfg.base_widths, output_dim=model_cfg.output_dim,
+        k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
+
+    return GFSSetup(model, jnp.asarray(basis), reg_test, reg_train,
+                    train_class_names, test_class_names, all_learning_order,
+                    all_class_names, test_learning_order_idx, val_dataset,
+                    supp_datasets, train_data, train_data_noaug)
+
+
+def init_variables(setup: GFSSetup, data_cfg, seed: int = 321) -> Dict:
+    rng = jax.random.PRNGKey(seed)
+    x = jnp.zeros((2, data_cfg.pc_npts, len(data_cfg.pc_attribs)))
+    y = jnp.zeros((2, data_cfg.pc_npts), jnp.int32)
+    return setup.model.init({"params": rng, "dropout": rng, "fake": rng},
+                            x, y, setup.gp, train=True)
+
+
+# --------------------------------------------------------------------------- #
+# coding collection / prototype registration (host loops over jitted steps)
+# --------------------------------------------------------------------------- #
+
+def collect_base_codings(model, variables, gp, dataset, n_base: int,
+                         energy: float, batch_size: int = 16, mesh=None,
+                         seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference train.py:156-218 — one sweep over the no-aug train set.
+
+    Returns (base_class_coding (n_base, K) multi-hot, bg_class_coding (K,)).
+    """
+    step = make_coding_step(model, n_base, mesh)
+    k = gp.shape[0]
+    sums = np.zeros((n_base, k), np.float64)
+    counts = np.zeros((n_base,), np.float64)
+    bg_sum = np.zeros((k,), np.float64)
+    bg_blocks = 0.0
+    for batch in batch_iterator(dataset, batch_size, shuffle=False,
+                                pad_final=True, seed=seed):
+        points, labels = batch[0], batch[1]
+        valid = int(batch[-1])
+        if valid < points.shape[0]:
+            points = points[:valid]
+            labels = labels[:valid]
+        if mesh is not None and points.shape[0] % mesh.devices.size != 0:
+            mesh_in = None  # final ragged batch runs unsharded
+            s, c, b, nb = make_coding_step(model, n_base, None)(
+                variables, points, labels, gp)
+        else:
+            s, c, b, nb = step(
+                variables,
+                shard_batch(points, mesh) if mesh else points,
+                shard_batch(labels, mesh) if mesh else labels,
+                gp)
+        sums += np.asarray(s, np.float64)
+        counts += np.asarray(c, np.float64)
+        bg_sum += np.asarray(b, np.float64)
+        bg_blocks += float(nb)
+    means = sums / np.maximum(counts[:, None], 1.0)
+    coding = np.asarray(energy_multihot(jnp.asarray(means), energy))
+    bg_coding = bg_sum / max(bg_blocks, 1.0)
+    return coding.astype(np.float32), bg_coding.astype(np.float32)
+
+
+def register_novel_protos(model, variables, gp, supp_dataset,
+                          main_proto: np.ndarray, base_num: int,
+                          novel_class_list: Sequence[int], energy: float,
+                          mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference train.py:240-305 (get_new_proto_Geo2SemProto).
+
+    Novel prototype = mean over shots of per-shot foreground means (eqn.1);
+    base rows copy main_proto; rows L2-normalised. Novel coding = summed GW
+    histograms -> probability -> energy multi-hot.
+    """
+    step = make_fg_feat_step(model, mesh)
+    dim = main_proto.shape[1]
+    k = gp.shape[0]
+    feat_acc: Dict[int, List[np.ndarray]] = {c: [] for c in novel_class_list}
+    hist_acc: Dict[int, np.ndarray] = {c: np.zeros(k) for c in novel_class_list}
+    for i in range(len(supp_dataset)):
+        pcd, mask, cls = supp_dataset[i]
+        fg_sum, fg_cnt, gw_hist = step(
+            variables, pcd[None], mask[None], gp)
+        mean = np.asarray(fg_sum) / max(float(fg_cnt), 1e-12)
+        feat_acc[int(cls)].append(mean)
+        hist_acc[int(cls)] += np.asarray(gw_hist)
+
+    gened = np.zeros_like(main_proto)
+    gened[:base_num] = main_proto[:base_num]
+    for c in novel_class_list:
+        gened[c] = np.mean(np.stack(feat_acc[c]), axis=0)
+    gened = np.asarray(l2norm(jnp.asarray(gened), axis=-1))
+
+    novel_codings = []
+    for c in sorted(novel_class_list):
+        h = hist_acc[c]
+        h = h / h.sum()
+        novel_codings.append(np.asarray(energy_multihot(jnp.asarray(h),
+                                                        energy)))
+    return gened.astype(np.float32), np.stack(novel_codings).astype(np.float32)
+
+
+def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
+             novel_coding, all_learning_order, novel_class_names,
+             num_classes: int, batch_size: int = 16, mesh=None,
+             scannet: bool = False, logger: Optional[IOStream] = None):
+    """Full static_test sweep -> GFS metric (reference train.py:666-731)."""
+    eval_step = make_gfs_eval_step(model, num_classes, mesh)
+    cm = np.zeros((num_classes, num_classes), np.float64)
+    gp_acc_m, gp_nacc_m = AverageMeter(), AverageMeter()
+    args_rep = (gp, jnp.asarray(gened_proto), jnp.asarray(base_coding),
+                jnp.asarray(novel_coding))
+    if mesh is not None:
+        variables_d = replicate(variables, mesh)
+        args_rep = replicate(args_rep, mesh)
+    else:
+        variables_d = variables
+    for batch in batch_iterator(val_dataset, batch_size, shuffle=False,
+                                pad_final=True):
+        points, labels, valid = batch[0], batch[1], int(batch[-1])
+        if mesh is not None:
+            points = shard_batch(points, mesh)
+            labels = shard_batch(labels, mesh)
+        cm_b, acc, nacc = eval_step(variables_d, points, labels, *args_rep,
+                                    jnp.int32(valid))
+        cm += np.asarray(cm_b, np.float64)
+        gp_acc_m.update(float(acc))
+        gp_nacc_m.update(float(nacc))
+    mean_iou, base_iou, novel_iou, hm, iou_list = gfs_miou(
+        cm, all_learning_order, novel_class_names, scannet=scannet)
+    if logger:
+        logger.cprint(f"---------- gp acc: {gp_acc_m.avg:.4f}, "
+                      f"gp_novel_acc: {gp_nacc_m.avg:.4f} ----------")
+    return mean_iou, base_iou, novel_iou, hm, iou_list
+
+
+# --------------------------------------------------------------------------- #
+# drivers
+# --------------------------------------------------------------------------- #
+
+def evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
+                 logger: Optional[IOStream] = None) -> Dict:
+    """--only_evaluate: average the 4 metrics over the 5 support seeds
+    (reference train.py:459-499)."""
+    basis = load_basis(train_cfg.basis_path)
+    setup = build_setup(model_cfg, data_cfg, train_cfg, basis)
+    logger = logger or init_logger(train_cfg.save_path, phase="test")
+    if mesh is None and jax.device_count() > 1:
+        mesh = make_mesh()
+
+    variables = init_variables(setup, data_cfg, train_cfg.seed)
+    if train_cfg.model_checkpoint_path.endswith(".pth"):
+        params, stats, _ = load_torch_gfs_checkpoint(
+            train_cfg.model_checkpoint_path)
+        variables = {
+            "params": restore_into(variables["params"], _flat(params),
+                                   strict=False),
+            "batch_stats": restore_into(variables["batch_stats"],
+                                        _flat(stats), strict=False),
+        }
+    else:
+        flat, _ = load_checkpoint(train_cfg.model_checkpoint_path)
+        variables = restore_into(variables, flat)
+
+    n_base = len(setup.train_class_names)
+    coding_path = os.path.join(
+        train_cfg.save_path,
+        f"base_class_gp_coding_energy={train_cfg.energy}.npz")
+    if os.path.exists(coding_path):
+        with np.load(coding_path) as z:
+            base_coding = z["coding"]
+    else:
+        logger.cprint(f"---- recompute base_class_coding, "
+                      f"energy={train_cfg.energy} ----")
+        base_coding, _ = collect_base_codings(
+            setup.model, variables, setup.gp, setup.train_data_noaug,
+            n_base, train_cfg.energy, train_cfg.batch_size, mesh)
+        os.makedirs(train_cfg.save_path, exist_ok=True)
+        np.savez(coding_path, coding=base_coding)
+
+    scannet = len(setup.all_learning_order) > 13
+    main_proto = np.asarray(variables["params"]["main_proto"])
+    sums = np.zeros(4)
+    iou_lists = []
+    for supp in setup.supp_datasets:
+        gened, novel_coding = register_novel_protos(
+            setup.model, variables, setup.gp, supp, main_proto, n_base,
+            setup.test_learning_order_idx, train_cfg.energy, mesh)
+        m = validate(setup.model, variables, setup.gp, setup.val_dataset,
+                     gened, base_coding, novel_coding,
+                     setup.all_learning_order, setup.test_class_names,
+                     len(setup.all_class_names), train_cfg.batch_size, mesh,
+                     scannet, logger)
+        sums += np.asarray(m[:4])
+        iou_lists.append(m[4])
+    sums /= len(setup.supp_datasets)
+    logger.cprint(
+        f"Eval result: Final mIoU: {sums[0]}, BASE: {sums[1]}, "
+        f"NOVEL: {sums[2]}, hm_mIoU: {sums[3]}")
+    per_class = np.mean(np.stack(iou_lists), axis=0)
+    for i, v in enumerate(per_class):
+        logger.cprint(f"class {i}, iou over multiple runs: {v}")
+    return {"mean_iou": sums[0], "base_iou": sums[1], "novel_iou": sums[2],
+            "hm_iou": sums[3], "per_class": per_class}
+
+
+def _flat(tree) -> Dict[str, np.ndarray]:
+    from gfs3dseg_gws_tpu.utils.checkpoint import _flatten
+    return _flatten(tree)
+
+
+def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
+              logger: Optional[IOStream] = None,
+              max_steps_per_epoch: Optional[int] = None) -> Dict:
+    """Base-stage training loop (reference train.py:503-588)."""
+    basis = load_basis(train_cfg.basis_path)
+    setup = build_setup(model_cfg, data_cfg, train_cfg, basis)
+    logger = logger or init_logger(train_cfg.save_path, phase="train")
+    if mesh is None and jax.device_count() > 1:
+        mesh = make_mesh()
+
+    variables = init_variables(setup, data_cfg, train_cfg.seed)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if train_cfg.use_pretrain_weight and train_cfg.pretrain_checkpoint_path:
+        logger.cprint("----- loading pretrain weight of feature extractor ----")
+        enc_p, enc_s = _load_encoder_any(train_cfg.pretrain_checkpoint_path)
+        params = dict(params)
+        params["encoder"] = restore_into(params["encoder"], _flat(enc_p),
+                                         strict=False)
+        batch_stats = dict(batch_stats)
+        batch_stats["encoder"] = restore_into(batch_stats["encoder"],
+                                              _flat(enc_s), strict=False)
+
+    n_base = len(setup.train_class_names)
+    steps_per_epoch = max(len(setup.train_data) // train_cfg.batch_size, 1)
+    tx = make_gfs_optimizer(train_cfg.base_lr, steps_per_epoch,
+                            train_cfg.step_size, train_cfg.gamma,
+                            train_cfg.encoder_lr_scale)
+    state = TrainState.create(params, batch_stats, tx)
+    if mesh is not None:
+        state = replicate(state, mesh)
+        gp_dev = replicate(setup.gp, mesh)
+    else:
+        gp_dev = setup.gp
+
+    train_step = make_gfs_train_step(setup.model, mesh)
+    rng = jax.random.PRNGKey(train_cfg.seed)
+
+    scannet = len(setup.all_learning_order) > 13
+    best = {"max_iou": 0.0, "max_iou_100": 0.0, "max_hm": 0.0}
+    history = []
+
+    for epoch in range(train_cfg.start_epoch, train_cfg.epochs):
+        variables_now = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+        if epoch % train_cfg.coding_interval == 0:
+            base_coding, bg_coding = collect_base_codings(
+                setup.model, variables_now, setup.gp,
+                setup.train_data_noaug, n_base, train_cfg.energy,
+                train_cfg.batch_size, mesh)
+
+        # ---- one training epoch
+        loss_m, acc_m = AverageMeter(), AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(batch_iterator(
+                setup.train_data, train_cfg.batch_size, shuffle=True,
+                drop_last=True, seed=train_cfg.seed, epoch=epoch)):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            points, labels = batch[0], batch[1].astype(np.int32)
+            if mesh is not None:
+                points = shard_batch(points, mesh)
+                labels = shard_batch(labels, mesh)
+            state, loss, acc = train_step(state, points, labels, gp_dev, rng)
+            loss_m.update(float(loss))
+            acc_m.update(float(acc))
+            if (i + 1) % train_cfg.print_freq == 0:
+                logger.cprint(
+                    f"Epoch: [{epoch + 1}/{train_cfg.epochs}][{i + 1}/"
+                    f"{steps_per_epoch}] Loss {loss_m.val:.4f} "
+                    f"({loss_m.avg:.4f}) Accuracy {acc_m.val:.4f} "
+                    f"({acc_m.avg:.4f}).")
+        logger.cprint(
+            f"Train result at epoch [{epoch}/{train_cfg.epochs}]: "
+            f"acc {acc_m.avg:.4f}. ({time.time() - t0:.1f}s)")
+
+        # ---- periodic validation on support seed 0 (train.py:518-544)
+        if train_cfg.evaluate and (epoch + 1) % train_cfg.eval_interval == 0:
+            variables_now = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+            main_proto = np.asarray(
+                jax.device_get(variables_now["params"]["main_proto"]))
+            gened, novel_coding = register_novel_protos(
+                setup.model, variables_now, setup.gp, setup.supp_datasets[0],
+                main_proto, n_base, setup.test_learning_order_idx,
+                train_cfg.energy, mesh)
+            mean_iou, base_iou, novel_iou, hm, _ = validate(
+                setup.model, variables_now, setup.gp, setup.val_dataset,
+                gened, base_coding, novel_coding, setup.all_learning_order,
+                setup.test_class_names, len(setup.all_class_names),
+                train_cfg.batch_size, mesh, scannet, logger)
+            logger.cprint(
+                f"Epoch: {epoch}, Final mIoU: {mean_iou}, BASE: {base_iou}, "
+                f"NOVEL: {novel_iou}, hm: {hm}")
+            history.append({"epoch": epoch, "mean_iou": mean_iou,
+                            "base_iou": base_iou, "novel_iou": novel_iou,
+                            "hm_iou": hm})
+            _maybe_save(state, base_coding, train_cfg, logger, best, epoch,
+                        mean_iou, base_iou, novel_iou, hm)
+
+    return {"best": best, "history": history, "state": state}
+
+
+def _maybe_save(state, base_coding, train_cfg, logger, best, epoch,
+                mean_iou, base_iou, novel_iou, hm):
+    tree = {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+    meta = {"epoch": epoch, "max_iou": mean_iou}
+
+    def save(name):
+        path = os.path.join(train_cfg.save_path, name)
+        logger.cprint("Saving best checkpoint to: " + path)
+        save_checkpoint(path, tree, meta)
+        np.savez(os.path.join(
+            train_cfg.save_path,
+            f"base_class_gp_coding_energy={train_cfg.energy}.npz"),
+            coding=base_coding)
+
+    if mean_iou > best["max_iou"] and epoch < 100:
+        best["max_iou"] = mean_iou
+        save(f"train_epoch_{epoch}_{mean_iou}_Base_{base_iou}"
+             f"_Novel_{novel_iou}.npz")
+    if mean_iou > best["max_iou_100"] and epoch >= 100:
+        best["max_iou_100"] = mean_iou
+        save(f"train_epoch_{epoch}_{mean_iou}_Base_{base_iou}"
+             f"_Novel_{novel_iou}_hm_{hm}.npz")
+    if hm > best["max_hm"]:
+        best["max_hm"] = hm
+        save(f"train_hm_epoch_{epoch}_{mean_iou}_Base_{base_iou}"
+             f"_Novel_{novel_iou}_hm_{hm}.npz")
+
+
+def _load_encoder_any(path: str):
+    """Pretrain encoder from either our npz or the torch checkpoint.tar."""
+    if path.endswith(".npz"):
+        flat, _ = load_checkpoint(path)
+        enc_p = {k[len("params/encoder/"):]: v for k, v in flat.items()
+                 if k.startswith("params/encoder/")}
+        enc_s = {k[len("batch_stats/encoder/"):]: v for k, v in flat.items()
+                 if k.startswith("batch_stats/encoder/")}
+
+        class _Pre:  # already-flat dict wrapper for restore_into
+            pass
+
+        return _unflat(enc_p), _unflat(enc_s)
+    return load_torch_pretrain_checkpoint(path)
+
+
+def _unflat(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree

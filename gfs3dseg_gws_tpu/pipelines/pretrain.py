@@ -1,0 +1,132 @@
+"""Backbone pre-training (reference pretrain/runs/pre_train.py:86-198).
+
+Fully-supervised segmentation on base classes + background; saves the best
+encoder (by validation mIoU over classes 1..C-1) in both our npz format and
+the reference's `checkpoint.tar` torch format.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfs3dseg_gws_tpu.data.datasets import PretrainBlockDataset
+from gfs3dseg_gws_tpu.data.pipeline import batch_iterator
+from gfs3dseg_gws_tpu.data.registry import make_registry
+from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
+from gfs3dseg_gws_tpu.ops.metrics import overall_accuracy_and_miou
+from gfs3dseg_gws_tpu.parallel import TrainState, make_mesh, make_pretrain_step, replicate, shard_batch
+from gfs3dseg_gws_tpu.parallel.optim import make_pretrain_optimizer
+from gfs3dseg_gws_tpu.parallel.steps import make_eval_logits_step
+from gfs3dseg_gws_tpu.utils.checkpoint import save_checkpoint, save_torch_pretrain_checkpoint
+from gfs3dseg_gws_tpu.utils.logging import AverageMeter, init_logger
+
+
+def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
+             max_steps_per_epoch: Optional[int] = None,
+             export_torch: bool = True) -> Dict:
+    logger = logger or init_logger(pretrain_cfg.log_dir, phase="pretrain")
+    if mesh is None and jax.device_count() > 1:
+        mesh = make_mesh()
+
+    reg = make_registry(data_cfg.dataset, data_cfg.cvfold, data_cfg.data_path)
+    classes = reg.train_classes
+    num_classes = len(classes) + 1  # + background
+    c2s = {c: reg.class2scans[c] for c in classes}
+
+    train_ds = PretrainBlockDataset(
+        data_cfg.data_path, classes, c2s, mode="train",
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs,
+        pc_augm=data_cfg.pc_augm, pc_augm_config=data_cfg.augment_config,
+        split_ratio=0.1)
+    valid_ds = PretrainBlockDataset(
+        data_cfg.data_path, classes, c2s, mode="test",
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs,
+        split_ratio=0.1)
+    logger.cprint(
+        f"=== Pre-train Dataset (classes: {classes}) | "
+        f"Train: {len(train_ds)} blocks | Valid: {len(valid_ds)} blocks ===")
+
+    model = DGCNNSeg(num_classes=num_classes,
+                     edgeconv_widths=model_cfg.edgeconv_widths,
+                     mlp_widths=model_cfg.dgcnn_mlp_widths,
+                     k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
+    rng = jax.random.PRNGKey(pretrain_cfg.seed)
+    x0 = jnp.zeros((2, data_cfg.pc_npts, len(data_cfg.pc_attribs)))
+    variables = model.init({"params": rng, "dropout": rng}, x0, True)
+
+    steps_per_epoch = max(len(train_ds) // pretrain_cfg.batch_size, 1)
+    tx = make_pretrain_optimizer(pretrain_cfg.lr, steps_per_epoch,
+                                 pretrain_cfg.weight_decay,
+                                 pretrain_cfg.step_size, pretrain_cfg.gamma)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    if mesh is not None:
+        state = replicate(state, mesh)
+    train_step = make_pretrain_step(model, mesh)
+    eval_step = make_eval_logits_step(model, num_classes, mesh)
+
+    # start below zero so the first evaluation always checkpoints (the
+    # reference's 0 init works because real runs never stay at exactly 0)
+    best_iou = -1.0
+    history = []
+    for epoch in range(pretrain_cfg.n_iters):
+        loss_m = AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(batch_iterator(
+                train_ds, pretrain_cfg.batch_size, shuffle=True,
+                drop_last=True, seed=pretrain_cfg.seed, epoch=epoch)):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            points, labels = batch[0], batch[1].astype(np.int32)
+            if mesh is not None:
+                points = shard_batch(points, mesh)
+                labels = shard_batch(labels, mesh)
+            state, loss = train_step(state, points, labels, rng)
+            loss_m.update(float(loss))
+        logger.cprint(f"=====[Train] Epoch: {epoch} | Loss: {loss_m.avg:.4f} "
+                      f"| {time.time() - t0:.1f}s =====")
+
+        if (epoch + 1) % pretrain_cfg.eval_interval == 0 and len(valid_ds):
+            variables_now = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+            if mesh is not None:
+                variables_d = variables_now
+            else:
+                variables_d = variables_now
+            cm = np.zeros((num_classes, num_classes), np.float64)
+            for batch in batch_iterator(valid_ds, pretrain_cfg.batch_size,
+                                        pad_final=True):
+                points, labels = batch[0], batch[1].astype(np.int32)
+                valid = int(batch[-1])
+                if mesh is not None:
+                    points = shard_batch(points, mesh)
+                    labels = shard_batch(labels, mesh)
+                cm += np.asarray(eval_step(variables_d, points, labels,
+                                           jnp.int32(valid)), np.float64)
+            oa, miou, _ = overall_accuracy_and_miou(cm)
+            logger.cprint(f"===== EPOCH [{epoch}]: Accuracy: {oa:.6f} | "
+                          f"mIoU: {miou:.6f} =====")
+            history.append({"epoch": epoch, "oa": oa, "miou": miou})
+            if miou > best_iou:
+                best_iou = miou
+                logger.cprint("*******************Model Saved**************")
+                tree = {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)}
+                save_checkpoint(os.path.join(pretrain_cfg.log_dir,
+                                             "checkpoint.npz"),
+                                tree, {"epoch": epoch, "miou": miou})
+                if export_torch:
+                    try:
+                        save_torch_pretrain_checkpoint(
+                            tree["params"]["encoder"],
+                            tree["batch_stats"]["encoder"],
+                            pretrain_cfg.log_dir)
+                    except ImportError:
+                        pass
+
+    return {"best_iou": best_iou, "history": history, "state": state}

@@ -95,10 +95,17 @@ class TestShardedTraining:
         nc = jnp.ones((CLASSES - BASE, NUM_GW))
         cm, gp_acc, gp_nacc = eval_step(
             replicate(variables, mesh), shard_batch(x, mesh),
-            shard_batch(y, mesh), *replicate((gp, gened, bc, nc), mesh))
+            shard_batch(y, mesh),
+            *replicate((gp, gened, bc, nc, jnp.int32(B)), mesh))
         cm = np.asarray(cm)
         assert cm.shape == (CLASSES, CLASSES)
         assert cm.sum() == B * N
+        # padding rows excluded from the confusion counts
+        cm2, _, _ = eval_step(
+            replicate(variables, mesh), shard_batch(x, mesh),
+            shard_batch(y, mesh),
+            *replicate((gp, gened, bc, nc, jnp.int32(B - 4)), mesh))
+        assert np.asarray(cm2).sum() == (B - 4) * N
 
     def test_coding_step(self, setup):
         model, variables, x, y, gp = setup
