@@ -1,0 +1,84 @@
+"""Throughput benchmark: 2048-point blocks/sec/chip on the GFS evaluation step.
+
+Measures the flagship full-size GW/CAPL model's fused evaluation pass
+(features -> GW coding -> transductive refine -> reweight -> argmax ->
+confusion matrix) on synthetic fixed-shape batches — the BASELINE.json
+north-star metric ("Full static_test_2048 query sweep"). Baseline target:
+5,000 blocks/sec on a v5e-8 slice = 625 blocks/sec/chip.
+
+Timing methodology: the eval step runs ITERS times inside one jitted
+`lax.fori_loop` (accumulating the confusion matrix so nothing is dead code);
+the wall clock is taken around a host transfer of the result, and two
+different iteration counts are differenced to cancel the per-call dispatch/
+tunnel overhead.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_BLOCKS_PER_SEC_PER_CHIP = 5000.0 / 8.0
+
+
+def main():
+    from gfs3dseg_gws_tpu.models.capl import GWCAPL
+    from gfs3dseg_gws_tpu.ops.metrics import confusion_matrix
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 64 if on_tpu else 4
+    npts = 2048
+    model = GWCAPL(classes=13, base_num=7, num_gw=150, main_dim=128,
+                   use_pallas=on_tpu)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, npts, 9))
+    y = jax.random.randint(jax.random.PRNGKey(2), (batch, npts), 0, 13)
+    gp = jax.random.normal(jax.random.PRNGKey(3), (150, 192))
+    variables = model.init({"params": rng, "dropout": rng, "fake": rng},
+                           x, y, gp, train=True)
+    gened = jax.random.normal(jax.random.PRNGKey(4), (13, 128))
+    base_coding = jnp.ones((7, 150))
+    novel_coding = jnp.ones((6, 150))
+
+    def eval_once(points):
+        logits, _, _ = model.apply(variables, points, gp, gened, base_coding,
+                                   novel_coding, method="evaluate")
+        pred = jnp.argmax(logits, axis=-1)
+        return confusion_matrix(pred, y, 13)
+
+    @jax.jit
+    def run(points, iters):
+        def body(i, cm):
+            # fold the iteration index in so no iteration is removable
+            return cm + eval_once(points + 0.0 * i)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((13, 13)))
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        cm = run(x, jnp.int32(iters))
+        float(cm.sum())  # host transfer = true synchronization
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warmup
+    lo, hi = (2, 12) if on_tpu else (1, 3)
+    t_lo = min(timed(lo) for _ in range(3))
+    t_hi = min(timed(hi) for _ in range(3))
+    dt_per_iter = (t_hi - t_lo) / (hi - lo)
+
+    blocks_per_sec = batch / dt_per_iter
+    print(json.dumps({
+        "metric": "gfs_eval_2048pt_blocks_per_sec_per_chip",
+        "value": round(blocks_per_sec, 2),
+        "unit": "blocks/s/chip",
+        "vs_baseline": round(blocks_per_sec / BASELINE_BLOCKS_PER_SEC_PER_CHIP,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
