@@ -89,6 +89,29 @@ def gfs_miou(
     return mean_iou, base_iou, novel_iou, float(hm), iou_list
 
 
+def fewshot_accumulate(cm_global: np.ndarray, cm_episode: np.ndarray,
+                       label2class: Sequence[int],
+                       test_classes: Sequence[int]) -> None:
+    """Scatter one episode's (n_way+1, n_way+1) confusion counts into the
+    global (len(test_classes)+1, ...) matrix, mapping episode label i+1 ->
+    test_classes.index(label2class[i]) + 1 and 0 -> background 0
+    (reference pretrain/runs/eval.py:35-60)."""
+    classes = list(test_classes)
+    n_way = len(label2class)
+    perm = np.zeros(n_way + 1, dtype=np.int64)
+    for i, cls in enumerate(label2class):
+        perm[i + 1] = classes.index(int(cls)) + 1
+    cm_global[perm[:, None], perm[None, :]] += np.asarray(cm_episode,
+                                                          np.float64)
+
+
+def fewshot_miou(cm_global: np.ndarray) -> Tuple[float, np.ndarray]:
+    """Classic FS metric: per-class IoU; mean over foreground classes only
+    (reference pretrain/runs/eval.py:62-70)."""
+    iou = iou_from_confusion(cm_global, safe=True)
+    return float(np.mean(iou[1:])), iou
+
+
 def overall_accuracy_and_miou(cm: np.ndarray, skip_class0_in_miou: bool = True
                               ) -> Tuple[float, float, np.ndarray]:
     """Pretrain-style metric (reference pretrain/runs/pre_train.py:51-83):

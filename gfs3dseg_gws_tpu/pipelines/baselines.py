@@ -1,0 +1,510 @@
+"""Legacy few-shot baselines: ProtoNet / MPTI training + eval, FineTune.
+
+TPU re-design of reference pretrain/runs/{proto_train,mpti_train,eval,
+fine_tune}.py: one jitted episode step (fixed episode shapes mean a single
+compilation), encoder param group at lr 1e-4 with heads at args.lr
+(reference proto_learner.py:24-32), StepLR stepped per ITERATION, and the
+classic few-shot metric accumulated as on-device confusion matrices.
+
+Note: reference `--phase mptitrain` crashes on an unresolvable `from gfs
+import load_base_protoes` import (mpti_train.py:15) — here MPTI training is
+functional; the GFS-style MPTI evaluation (mpti_learner.py:107-245) is
+implemented as `mpti_test_gfs`.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gfs3dseg_gws_tpu.data.episodes import EpisodeDataset, StaticEpisodeBank
+from gfs3dseg_gws_tpu.models.mpti import MPTI
+from gfs3dseg_gws_tpu.models.protonet import ProtoNet
+from gfs3dseg_gws_tpu.ops.metrics import (
+    confusion_matrix,
+    fewshot_accumulate,
+    fewshot_miou,
+)
+from gfs3dseg_gws_tpu.parallel.optim import step_lr
+from gfs3dseg_gws_tpu.utils.checkpoint import (
+    load_checkpoint,
+    restore_into,
+    save_checkpoint,
+)
+from gfs3dseg_gws_tpu.utils.logging import AverageMeter, init_logger
+
+
+@dataclass(frozen=True)
+class FewShotConfig:
+    """Mirrors pretrain/main.py:36-91 defaults."""
+
+    n_way: int = 2
+    k_shot: int = 1
+    n_queries: int = 1
+    n_iters: int = 30_000
+    lr: float = 0.001
+    step_size: int = 5000
+    gamma: float = 0.5
+    eval_interval: int = 1500
+    n_episode_test: int = 100
+    dist_method: str = "euclidean"
+    n_subprototypes: int = 100
+    k_connect: int = 200
+    sigma: float = 1.0
+    use_attention: bool = True
+    log_dir: str = "log_fewshot"
+    seed: int = 321
+
+
+def _build_model(kind: str, model_cfg, fs_cfg: FewShotConfig):
+    kw = dict(n_way=fs_cfg.n_way, k_shot=fs_cfg.k_shot,
+              edgeconv_widths=model_cfg.edgeconv_widths,
+              mlp_widths=model_cfg.dgcnn_mlp_widths,
+              base_widths=model_cfg.base_widths,
+              output_dim=model_cfg.output_dim, k=model_cfg.dgcnn_k,
+              use_attention=fs_cfg.use_attention,
+              use_pallas=model_cfg.use_pallas)
+    if kind == "proto":
+        return ProtoNet(dist_method=fs_cfg.dist_method, **kw)
+    if kind == "mpti":
+        return MPTI(n_subprototypes=fs_cfg.n_subprototypes,
+                    k_connect=fs_cfg.k_connect, sigma=fs_cfg.sigma, **kw)
+    raise ValueError(kind)
+
+
+def _make_optimizer(fs_cfg: FewShotConfig) -> optax.GradientTransformation:
+    """Encoder at 1e-4, heads at lr; StepLR per iteration."""
+
+    def _adam(base):
+        return optax.adam(step_lr(base, fs_cfg.step_size, fs_cfg.gamma,
+                                  steps_per_epoch=1))
+
+    def label_fn(params):
+        def top(path, _):
+            keys = [getattr(p, "key", None) for p in path[:2]]
+            return "encoder" if "encoder" in keys else "rest"
+
+        return jax.tree_util.tree_map_with_path(top, params)
+
+    return optax.multi_transform({"encoder": _adam(1e-4),
+                                  "rest": _adam(fs_cfg.lr)}, label_fn)
+
+
+class FewShotLearner:
+    """Jitted episodic train/test steps for ProtoNet/MPTI."""
+
+    def __init__(self, kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,
+                 pretrain_checkpoint_path: str = "",
+                 model_checkpoint_path: str = ""):
+        self.model = _build_model(kind, model_cfg, fs_cfg)
+        self.fs_cfg = fs_cfg
+        rng = jax.random.PRNGKey(fs_cfg.seed)
+        n, cin = data_cfg.pc_npts, len(data_cfg.pc_attribs)
+        sx = jnp.zeros((fs_cfg.n_way, fs_cfg.k_shot, n, cin))
+        sy = jnp.zeros((fs_cfg.n_way, fs_cfg.k_shot, n), jnp.int32)
+        qx = jnp.zeros((fs_cfg.n_way * fs_cfg.n_queries, n, cin))
+        qy = jnp.zeros((fs_cfg.n_way * fs_cfg.n_queries, n), jnp.int32)
+        variables = self.model.init({"params": rng, "dropout": rng},
+                                    sx, sy, qx, qy, train=True)
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+
+        if model_checkpoint_path:
+            flat, _ = load_checkpoint(model_checkpoint_path)
+            self.params = restore_into(
+                self.params, {k[len("params/"):]: v for k, v in flat.items()
+                              if k.startswith("params/")})
+            self.batch_stats = restore_into(
+                self.batch_stats,
+                {k[len("batch_stats/"):]: v for k, v in flat.items()
+                 if k.startswith("batch_stats/")})
+        elif pretrain_checkpoint_path:
+            self._load_encoder(pretrain_checkpoint_path)
+
+        self.tx = _make_optimizer(fs_cfg)
+        self.opt_state = self.tx.init(self.params)
+        self.step_count = 0
+
+        model = self.model
+        tx = self.tx
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, sx, sy, qx, qy, rng):
+            def loss_fn(p):
+                (logits, loss), upd = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    sx, sy, qx, qy, True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+                return loss, (logits, upd["batch_stats"])
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            pred = jnp.argmax(logits, axis=-1)
+            acc = jnp.mean((pred == qy).astype(jnp.float32))
+            return new_params, new_bs, new_opt, loss, acc
+
+        @jax.jit
+        def test_step(params, batch_stats, sx, sy, qx, qy):
+            logits, loss = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                sx, sy, qx, qy, False)
+            pred = jnp.argmax(logits, axis=-1)
+            cm = confusion_matrix(pred, qy, sy.shape[0] + 1)
+            acc = jnp.mean((pred == qy).astype(jnp.float32))
+            return pred, cm, loss, acc
+
+        self._train_step = train_step
+        self._test_step = test_step
+
+    def _load_encoder(self, path: str):
+        from gfs3dseg_gws_tpu.pipelines.gfs import _load_encoder_any, _flat
+
+        enc_p, enc_s = _load_encoder_any(path)
+        feat_p = dict(self.params["feat"])
+        feat_p["encoder"] = restore_into(feat_p["encoder"], _flat(enc_p),
+                                         strict=False)
+        self.params = {**self.params, "feat": feat_p}
+        feat_s = dict(self.batch_stats["feat"])
+        feat_s["encoder"] = restore_into(feat_s["encoder"], _flat(enc_s),
+                                         strict=False)
+        self.batch_stats = {**self.batch_stats, "feat": feat_s}
+
+    def train(self, episode, rng):
+        sx, sy, qx, qy = [jnp.asarray(a) for a in episode[:4]]
+        (self.params, self.batch_stats, self.opt_state, loss,
+         acc) = self._train_step(self.params, self.batch_stats,
+                                 self.opt_state, sx, sy.astype(jnp.int32),
+                                 qx, qy.astype(jnp.int32), rng)
+        self.step_count += 1
+        return float(loss), float(acc)
+
+    def test(self, episode):
+        sx, sy, qx, qy = [jnp.asarray(a) for a in episode[:4]]
+        pred, cm, loss, acc = self._test_step(
+            self.params, self.batch_stats, sx, sy.astype(jnp.int32), qx,
+            qy.astype(jnp.int32))
+        return np.asarray(pred), np.asarray(cm), float(loss), float(acc)
+
+    def save(self, path: str, meta: Optional[Dict] = None):
+        save_checkpoint(path, {"params": jax.device_get(self.params),
+                               "batch_stats": jax.device_get(
+                                   self.batch_stats)}, meta)
+
+
+def test_few_shot(bank: StaticEpisodeBank, learner: FewShotLearner, logger,
+                  test_classes) -> tuple:
+    """Reference pretrain/runs/eval.py:175-202."""
+    total_loss = 0.0
+    num_global = len(test_classes) + 1
+    cm_global = np.zeros((num_global, num_global), np.float64)
+    for i in range(len(bank)):
+        episode = bank[i]
+        sampled_classes = episode[4]
+        pred, cm, loss, _ = learner.test(episode)
+        total_loss += loss
+        fewshot_accumulate(cm_global, cm, sampled_classes, test_classes)
+        if (i + 1) % 50 == 0:
+            logger.cprint(f"[Eval] Iter: {i + 1} | Loss: {loss:.4f}")
+    mean_iou, iou = fewshot_miou(cm_global)
+    for c, v in enumerate(iou):
+        logger.cprint(f"----- [class {c}]  IoU: {v:f} -----")
+    return total_loss / max(len(bank), 1), mean_iou
+
+
+def episodic_train(kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,
+                   pretrain_checkpoint_path: str = "",
+                   model_checkpoint_path: str = "",
+                   logger=None, max_iters: Optional[int] = None,
+                   bank_episodes: Optional[int] = None) -> Dict:
+    """prototrain / mptitrain (reference proto_train.py:17-80)."""
+    logger = logger or init_logger(fs_cfg.log_dir, phase=f"{kind}train")
+    learner = FewShotLearner(kind, model_cfg, data_cfg, fs_cfg,
+                             pretrain_checkpoint_path, model_checkpoint_path)
+
+    train_ds = EpisodeDataset(
+        data_cfg.data_path, data_cfg.dataset, cvfold=data_cfg.cvfold,
+        num_episode=fs_cfg.n_iters, n_way=fs_cfg.n_way, k_shot=fs_cfg.k_shot,
+        n_queries=fs_cfg.n_queries, mode="train",
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs,
+        pc_augm=data_cfg.pc_augm, pc_augm_config=data_cfg.augment_config)
+    bank = StaticEpisodeBank(
+        data_cfg.data_path, data_cfg.dataset, cvfold=data_cfg.cvfold,
+        num_episode_per_comb=bank_episodes or fs_cfg.n_episode_test,
+        n_way=fs_cfg.n_way, k_shot=fs_cfg.k_shot, n_queries=fs_cfg.n_queries,
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs,
+        mode="valid")
+    valid_classes = sorted(bank.classes.tolist())
+
+    best_iou = -1.0
+    n_iters = min(fs_cfg.n_iters, max_iters or fs_cfg.n_iters)
+    rng0 = np.random.default_rng(fs_cfg.seed)
+    for it in range(n_iters):
+        episode = train_ds.__getitem__(it, rng=np.random.default_rng(
+            (fs_cfg.seed, it)))
+        loss, acc = learner.train(episode, jax.random.PRNGKey(it))
+        if (it + 1) % 50 == 0 or it == 0:
+            logger.cprint(f"=====[Train] Iter: {it} | Loss: {loss:.4f} | "
+                          f"Accuracy: {acc:f} =====")
+        if (it + 1) % fs_cfg.eval_interval == 0 or it + 1 == n_iters:
+            valid_loss, mean_iou = test_few_shot(bank, learner, logger,
+                                                 valid_classes)
+            logger.cprint(f"\n=====[VALID] Loss: {valid_loss:.4f} | "
+                          f"Mean IoU: {mean_iou:f} =====\n")
+            if mean_iou > best_iou:
+                best_iou = mean_iou
+                logger.cprint("*******************Model Saved****************")
+                learner.save(os.path.join(fs_cfg.log_dir, "checkpoint.npz"),
+                             {"iteration": it + 1, "IoU": best_iou})
+    return {"best_iou": best_iou, "learner": learner}
+
+
+def episodic_eval(kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,
+                  model_checkpoint_path: str, logger=None,
+                  mode: str = "test",
+                  bank_episodes: Optional[int] = None) -> float:
+    """protoeval / mptieval (reference pretrain/runs/eval.py:205-223)."""
+    logger = logger or init_logger(fs_cfg.log_dir, phase=f"{kind}eval")
+    learner = FewShotLearner(kind, model_cfg, data_cfg, fs_cfg,
+                             model_checkpoint_path=model_checkpoint_path)
+    bank = StaticEpisodeBank(
+        data_cfg.data_path, data_cfg.dataset, cvfold=data_cfg.cvfold,
+        num_episode_per_comb=bank_episodes or fs_cfg.n_episode_test,
+        n_way=fs_cfg.n_way, k_shot=fs_cfg.k_shot, n_queries=fs_cfg.n_queries,
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs, mode=mode)
+    test_loss, mean_iou = test_few_shot(bank, learner, logger,
+                                        sorted(bank.classes.tolist()))
+    logger.cprint(f"\n=====[TEST] Loss: {test_loss:.4f} | "
+                  f"Mean IoU: {mean_iou:f} =====\n")
+    return mean_iou
+
+
+def finetune(model_cfg, data_cfg, fs_cfg: FewShotConfig,
+             pretrain_checkpoint_path: str = "", inner_iters: int = 100,
+             logger=None, max_episodes: Optional[int] = None,
+             bank_episodes: Optional[int] = None) -> float:
+    """FineTune baseline (reference pretrain/runs/fine_tune.py:97-152):
+    per episode, train only the segmenter head on the support set for
+    `inner_iters` steps, then test on the query set."""
+    from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
+    from gfs3dseg_gws_tpu.models.layers import cross_entropy
+    from gfs3dseg_gws_tpu.pipelines.gfs import _flat, _load_encoder_any
+
+    logger = logger or init_logger(fs_cfg.log_dir, phase="finetune")
+    n_cls = fs_cfg.n_way + 1
+    model = DGCNNSeg(num_classes=n_cls,
+                     edgeconv_widths=model_cfg.edgeconv_widths,
+                     mlp_widths=model_cfg.dgcnn_mlp_widths,
+                     k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
+    rng = jax.random.PRNGKey(fs_cfg.seed)
+    n, cin = data_cfg.pc_npts, len(data_cfg.pc_attribs)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, n, cin)), True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if pretrain_checkpoint_path:
+        enc_p, enc_s = _load_encoder_any(pretrain_checkpoint_path)
+        params = dict(params)
+        params["encoder"] = restore_into(params["encoder"], _flat(enc_p),
+                                         strict=False)
+        batch_stats = dict(batch_stats)
+        batch_stats["encoder"] = restore_into(batch_stats["encoder"],
+                                              _flat(enc_s), strict=False)
+
+    # only the segmenter trains (reference fine_tune.py:35)
+    tx = optax.multi_transform(
+        {"seg": optax.adam(fs_cfg.lr), "frozen": optax.set_to_zero()},
+        lambda p: jax.tree_util.tree_map_with_path(
+            lambda path, _: "seg" if path[0].key == "segmenter"
+            else "frozen", p))
+    opt_state0 = tx.init(params)
+
+    @jax.jit
+    def inner_step(params, batch_stats, opt_state, sx, sy, rng):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, sx, True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            return cross_entropy(logits, sy), upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    @jax.jit
+    def test_step(params, batch_stats, qx, qy):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             qx, False)
+        pred = jnp.argmax(jax.nn.softmax(logits, -1), axis=-1)
+        return pred, confusion_matrix(pred, qy, n_cls)
+
+    bank = StaticEpisodeBank(
+        data_cfg.data_path, data_cfg.dataset, cvfold=data_cfg.cvfold,
+        num_episode_per_comb=bank_episodes or fs_cfg.n_episode_test,
+        n_way=fs_cfg.n_way, k_shot=fs_cfg.k_shot, n_queries=fs_cfg.n_queries,
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs,
+        mode="test")
+    test_classes = sorted(bank.classes.tolist())
+
+    num_global = len(test_classes) + 1
+    cm_global = np.zeros((num_global, num_global), np.float64)
+    n_episodes = min(len(bank), max_episodes or len(bank))
+    for ep in range(n_episodes):
+        s_pc, s_mask, q_pc, q_lbl, sampled = bank[ep]
+        # support masks -> labels 1..n_way (fine_tune.py:77-94)
+        sy = (s_mask * (np.arange(fs_cfg.n_way)[:, None, None] + 1)).astype(
+            np.int32)
+        sx = jnp.asarray(s_pc.reshape(-1, n, cin))
+        sy = jnp.asarray(sy.reshape(-1, n))
+        # NOTE: like the reference, the segmenter state carries over episodes
+        opt_state = opt_state0
+        for i in range(inner_iters):
+            params, batch_stats, opt_state, loss = inner_step(
+                params, batch_stats, opt_state, sx, sy,
+                jax.random.PRNGKey(ep * inner_iters + i))
+        pred, cm = test_step(params, batch_stats, jnp.asarray(q_pc),
+                             jnp.asarray(q_lbl.astype(np.int32)))
+        fewshot_accumulate(cm_global, np.asarray(cm), sampled, test_classes)
+        logger.cprint(f"=====[FineTune] Episode {ep} done =====")
+
+    mean_iou, iou = fewshot_miou(cm_global)
+    for c, v in enumerate(iou):
+        logger.cprint(f"----- [class {c}]  IoU: {v:f} -----")
+    logger.cprint(f"\n=====[Test] Mean IoU: {mean_iou:f} =====\n")
+    return mean_iou
+
+
+def mpti_test_gfs(model_cfg, data_cfg, fs_cfg: FewShotConfig,
+                  model_checkpoint_path: str, testing_data_path: str,
+                  logger=None, max_base_blocks: Optional[int] = None,
+                  max_query_blocks: Optional[int] = None) -> Dict:
+    """GFS-style MPTI evaluation (reference mpti_learner.py:107-245):
+    100 multi-prototypes per base class from the full base train set (cap
+    200k pts/class) + 100 per novel class from the static supports, then
+    per-query-block label propagation over prototypes + query points."""
+    from gfs3dseg_gws_tpu.data.datasets import (
+        PretrainBlockDataset, TestingDataset, ValSuppDataset)
+    from gfs3dseg_gws_tpu.data.registry import make_registry
+    from gfs3dseg_gws_tpu.models.mpti import multi_prototypes
+    from gfs3dseg_gws_tpu.ops.linalg import (
+        label_propagate, local_constrained_affinity)
+    from gfs3dseg_gws_tpu.ops.metrics import gfs_miou
+
+    logger = logger or init_logger(fs_cfg.log_dir, phase="mptigfs")
+    learner = FewShotLearner("mpti", model_cfg, data_cfg, fs_cfg,
+                             model_checkpoint_path=model_checkpoint_path)
+    model = learner.model
+    variables = {"params": learner.params,
+                 "batch_stats": learner.batch_stats}
+
+    reg_train = make_registry(data_cfg.dataset, data_cfg.cvfold,
+                              data_cfg.data_path)
+    reg_test = make_registry(data_cfg.dataset, data_cfg.cvfold,
+                             testing_data_path)
+    base_classes = sorted(reg_train.train_classes)
+    novel_classes = sorted(reg_train.test_classes)
+    all_order = base_classes + novel_classes
+    all_names = sorted(all_order)
+    n_all = len(all_names)
+    kp = fs_cfg.n_subprototypes
+    max_pts = 200_000
+
+    feat_fn = jax.jit(lambda v, x: model.apply(v, x, False,
+                                               method="get_features"))
+
+    # 1. base-class prototypes from the full base set
+    c2s = {c: reg_train.class2scans[c] for c in base_classes}
+    base_ds = PretrainBlockDataset(
+        data_cfg.data_path, base_classes, c2s, mode="train",
+        num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs)
+    per_class = {i: [] for i in range(len(base_classes))}
+    n_blocks = min(len(base_ds), max_base_blocks or len(base_ds))
+    for bi in range(n_blocks):
+        pc, lbl, _ = base_ds.__getitem__(bi, rng=np.random.default_rng(bi))
+        feat = np.asarray(feat_fn(variables, jnp.asarray(pc[None])))[0]
+        for i in range(len(base_classes)):
+            mask = lbl == i + 1
+            if mask.sum() > 0:
+                per_class[i].append(feat[mask])
+
+    protos_list, labels_list = [], []
+    rng = np.random.default_rng(fs_cfg.seed)
+    for i, cls in enumerate(base_classes):
+        feat = np.concatenate(per_class[i], axis=0)
+        if feat.shape[0] > max_pts:
+            feat = feat[rng.choice(feat.shape[0], max_pts, replace=False)]
+        protos = np.asarray(multi_prototypes(
+            jnp.asarray(feat), jnp.ones(feat.shape[0]), kp))
+        protos_list.append(protos)
+        lab = np.zeros((kp, n_all))
+        lab[:, cls] = 1
+        labels_list.append(lab)
+        per_class[i] = []
+
+    # 2. novel-class prototypes from the static supports
+    supp = ValSuppDataset(data_cfg.data_path, data_cfg.dataset,
+                          cvfold=data_cfg.cvfold, k_shot=data_cfg.k_shot,
+                          mode="test", num_point=data_cfg.pc_npts,
+                          pc_attribs=data_cfg.pc_attribs, seed=10,
+                          registry=reg_train)
+    novel_feats = {c: [] for c in novel_classes}
+    for i in range(len(supp)):
+        pcd, mask, cls = supp[i]
+        feat = np.asarray(feat_fn(variables, jnp.asarray(pcd[None])))[0]
+        novel_feats[int(cls)].append(feat[mask == 1])
+    for cls in novel_classes:
+        feat = np.concatenate(novel_feats[cls], axis=0)
+        protos = np.asarray(multi_prototypes(
+            jnp.asarray(feat), jnp.ones(feat.shape[0]), kp))
+        protos_list.append(protos)
+        lab = np.zeros((kp, n_all))
+        lab[:, cls] = 1
+        labels_list.append(lab)
+
+    prototypes = jnp.asarray(np.concatenate(protos_list))
+    proto_labels = jnp.asarray(np.concatenate(labels_list))
+    num_p = prototypes.shape[0]
+
+    # 3. per-query-block label propagation
+    test_c2s = {c: reg_test.class2scans[c] for c in all_names}
+    query_ds = TestingDataset(testing_data_path, all_names, all_order,
+                              test_c2s, mode="test",
+                              num_point=data_cfg.pc_npts,
+                              pc_attribs=data_cfg.pc_attribs)
+
+    @jax.jit
+    def propagate(q_feat):
+        node_feat = jnp.concatenate([prototypes, q_feat], axis=0)
+        y0 = jnp.concatenate(
+            [proto_labels, jnp.zeros((q_feat.shape[0], n_all))], axis=0)
+        a = local_constrained_affinity(node_feat, fs_cfg.k_connect,
+                                       fs_cfg.sigma)
+        z = label_propagate(a, y0)
+        return jnp.argmax(jax.nn.softmax(z[num_p:], -1), axis=-1)
+
+    cm = np.zeros((n_all, n_all), np.float64)
+    n_query = min(len(query_ds), max_query_blocks or len(query_ds))
+    for qi in range(n_query):
+        pcd, label, _ = query_ds[qi]
+        feat = np.asarray(feat_fn(variables, jnp.asarray(pcd[None])))[0]
+        pred = np.asarray(propagate(jnp.asarray(feat)))
+        # labels/preds here are class-NAME ids already (learning order via
+        # TestingDataset is mapped back through all_order)
+        gt_names = np.asarray(all_order)[label]
+        pred_names = pred
+        np.add.at(cm, (gt_names, pred_names), 1)
+
+    scannet = n_all > 13
+    # cm here is already in class-name space -> identity learning order
+    mean_iou, base_iou, novel_iou, hm, iou_list = gfs_miou(
+        cm, list(range(n_all)), novel_classes, scannet=scannet)
+    logger.cprint(f"MPTI GFS: mean {mean_iou}, base {base_iou}, "
+                  f"novel {novel_iou}, hm {hm}")
+    return {"mean_iou": mean_iou, "base_iou": base_iou,
+            "novel_iou": novel_iou, "hm_iou": hm}

@@ -1,0 +1,155 @@
+"""Few-shot baseline tests: episodic data, ProtoNet, MPTI, metric, training."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfs3dseg_gws_tpu.data import make_synthetic_blocks
+from gfs3dseg_gws_tpu.data.episodes import (
+    EpisodeDataset,
+    StaticEpisodeBank,
+    read_episode,
+)
+from gfs3dseg_gws_tpu.models.mpti import MPTI, multi_prototypes
+from gfs3dseg_gws_tpu.models.protonet import ProtoNet
+from gfs3dseg_gws_tpu.ops.metrics import fewshot_accumulate, fewshot_miou
+from gfs3dseg_gws_tpu.pipelines.baselines import (
+    FewShotConfig,
+    FewShotLearner,
+    episodic_train,
+)
+from gfs3dseg_gws_tpu.utils.config import DataConfig, ModelConfig
+
+NPTS = 96
+TINY = dict(edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+            dgcnn_mlp_widths=(16, 16), base_widths=(8, 8), output_dim=8,
+            dgcnn_k=5, use_pallas=False, pc_npts=NPTS)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fs"))
+    train_dir, test_dir = make_synthetic_blocks(
+        root, n_train_blocks=40, n_test_blocks=8, points_per_block=1500,
+        seed=2)
+    return root, train_dir, test_dir
+
+
+class TestEpisodes:
+    def test_episode_shapes(self, synth):
+        _, train_dir, _ = synth
+        ds = EpisodeDataset(train_dir, "s3dis", n_way=2, k_shot=2,
+                            n_queries=1, num_point=NPTS)
+        s_pc, s_mask, q_pc, q_lbl, sampled = ds.__getitem__(
+            0, rng=np.random.default_rng(0))
+        assert s_pc.shape == (2, 2, NPTS, 9)
+        assert s_mask.shape == (2, 2, NPTS)
+        assert q_pc.shape == (2, NPTS, 9)
+        assert set(np.unique(q_lbl)) <= {0, 1, 2}
+        assert len(sampled) == 2
+
+    def test_static_bank_roundtrip(self, synth):
+        _, train_dir, _ = synth
+        bank = StaticEpisodeBank(train_dir, "s3dis", cvfold=0,
+                                 num_episode_per_comb=1, n_way=2, k_shot=2,
+                                 n_queries=1, num_point=NPTS)
+        # test classes for fold 0 = 6 novel -> C(6,2)=15 combos
+        assert len(bank) == 15
+        data = bank[0]
+        assert data[0].shape == (2, 2, NPTS, 9)
+        # re-open reads identical h5 content
+        bank2 = StaticEpisodeBank(train_dir, "s3dis", cvfold=0,
+                                  num_episode_per_comb=1, n_way=2, k_shot=2,
+                                  n_queries=1, num_point=NPTS)
+        np.testing.assert_array_equal(bank2[0][0], data[0])
+
+
+class TestMultiPrototypes:
+    def test_counts_and_masking(self, rng):
+        feat = jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32))
+        valid = jnp.asarray((np.arange(200) < 150).astype(np.float32))
+        protos = multi_prototypes(feat, valid, 10)
+        assert protos.shape == (10, 8)
+        assert np.isfinite(np.asarray(protos)).all()
+
+
+class TestFewShotModels:
+    def _episode(self, key=0):
+        r = jax.random.PRNGKey(key)
+        sx = jax.random.normal(r, (2, 2, NPTS, 9))
+        sy = jax.random.randint(jax.random.PRNGKey(key + 1),
+                                (2, 2, NPTS), 0, 2)
+        qx = jax.random.normal(jax.random.PRNGKey(key + 2), (2, NPTS, 9))
+        qy = jax.random.randint(jax.random.PRNGKey(key + 3),
+                                (2, NPTS), 0, 3)
+        return sx, sy, qx, qy
+
+    @pytest.mark.parametrize("dist", ["cosine", "euclidean"])
+    def test_protonet_forward(self, dist):
+        model = ProtoNet(n_way=2, k_shot=2, dist_method=dist,
+                         edgeconv_widths=((8, 8),) * 3, mlp_widths=(16, 16),
+                         base_widths=(8, 8), output_dim=8, k=5,
+                         use_pallas=False)
+        sx, sy, qx, qy = self._episode()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng},
+                               sx, sy, qx, qy)
+        logits, loss = model.apply(variables, sx, sy, qx, qy)
+        assert logits.shape == (2, NPTS, 3)
+        assert np.isfinite(float(loss))
+
+    def test_mpti_forward(self):
+        model = MPTI(n_way=2, k_shot=2, n_subprototypes=8, k_connect=16,
+                     edgeconv_widths=((8, 8),) * 3, mlp_widths=(16, 16),
+                     base_widths=(8, 8), output_dim=8, k=5, use_pallas=False)
+        sx, sy, qx, qy = self._episode()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng},
+                               sx, sy, qx, qy)
+        logits, loss = model.apply(variables, sx, sy, qx, qy)
+        assert logits.shape == (2, NPTS, 3)
+        assert np.isfinite(float(loss))
+        # label-propagation scores are rows of mostly-positive mass
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestFewShotMetric:
+    def test_accumulate_matches_pointwise(self, rng):
+        test_classes = [3, 5, 9, 11]
+        cm_global = np.zeros((5, 5))
+        gt = rng.integers(0, 3, (2, 64))
+        pred = rng.integers(0, 3, (2, 64))
+        label2class = [9, 3]
+        cm_ep = np.zeros((3, 3))
+        for g, p in zip(gt.ravel(), pred.ravel()):
+            cm_ep[g, p] += 1
+        fewshot_accumulate(cm_global, cm_ep, label2class, test_classes)
+
+        # oracle loop (reference pretrain/runs/eval.py:35-60)
+        gt_c = np.zeros(5); pos_c = np.zeros(5); tp_c = np.zeros(5)
+        for g, p in zip(gt.ravel(), pred.ravel()):
+            gi = 0 if g == 0 else test_classes.index(label2class[g - 1]) + 1
+            pi = 0 if p == 0 else test_classes.index(label2class[p - 1]) + 1
+            gt_c[gi] += 1
+            pos_c[pi] += 1
+            tp_c[gi] += int(g == p)
+        np.testing.assert_array_equal(cm_global.sum(1), gt_c)
+        np.testing.assert_array_equal(cm_global.sum(0), pos_c)
+        np.testing.assert_array_equal(np.diag(cm_global), tp_c)
+
+
+class TestEpisodicTraining:
+    def test_proto_train_smoke(self, synth, tmp_path):
+        _, train_dir, _ = synth
+        model_cfg = ModelConfig(**TINY)
+        data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                              pc_npts=NPTS, k_shot=2)
+        fs_cfg = FewShotConfig(n_way=2, k_shot=2, n_iters=4, eval_interval=4,
+                               n_episode_test=1, dist_method="cosine",
+                               log_dir=str(tmp_path / "log_proto"))
+        out = episodic_train("proto", model_cfg, data_cfg, fs_cfg,
+                             max_iters=4, bank_episodes=1)
+        assert np.isfinite(out["best_iou"])
+        assert os.path.exists(os.path.join(fs_cfg.log_dir, "checkpoint.npz"))
