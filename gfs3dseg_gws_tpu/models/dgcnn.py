@@ -21,9 +21,37 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gfs3dseg_gws_tpu.models.layers import BatchNorm, ConvBN, MLPStack, leaky_relu
+from gfs3dseg_gws_tpu.models.layers import (
+    LEAKY_SLOPE,
+    BatchNorm,
+    Conv1x1,
+    ManualBN,
+    MLPStack,
+    leaky_relu,
+)
 from gfs3dseg_gws_tpu.ops.edgeconv import gather_neighbors
+from gfs3dseg_gws_tpu.ops.fused_edgeconv import fused_edgeconv_infer
 from gfs3dseg_gws_tpu.ops.knn import knn_indices
+
+
+class _ConvBNLayer(nn.Module):
+    """Conv1x1 + ManualBN (+ LeakyReLU) with the same parameter paths as the
+    generic ConvBN block, exposing the folded eval affine for kernel fusion."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.conv = Conv1x1(self.in_features, self.features, name="conv")
+        self.bn = ManualBN(self.features, name="bn")
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return leaky_relu(self.bn(self.conv(x), use_running_average=not train))
+
+    def folded(self):
+        """(W * bn_scale, bn_shift) of the eval-mode conv+BN composition."""
+        s, t = self.bn.affine()
+        return self.conv.kernel * s[None, :], t
 
 
 class EdgeConvBlock(nn.Module):
@@ -32,7 +60,14 @@ class EdgeConvBlock(nn.Module):
     The first layer's kernel has shape (2*C_in, widths[0]) with row blocks
     [Wd; Wc] for the (x_j - x_i) and x_i slots — the same parameterisation as
     the reference's Conv2d over the channel concat, so torch checkpoints map
-    1:1 onto it.
+    1:1 onto it. That linear map decomposes into two per-POINT matmuls:
+        (x_j - x_i) @ Wd + x_i @ Wc == (x_j @ Wd) + x_i @ (Wc - Wd)
+    removing the K-fold FLOP blow-up of the first layer.
+
+    In eval mode on TPU the whole block (kNN + gather + both conv/BN/LeakyReLU
+    layers + max) runs as ONE fused Pallas kernel with the BatchNorm affines
+    folded in (ops/fused_edgeconv.py); training uses the composable XLA path
+    because BN batch statistics need a global reduction.
     """
 
     widths: Sequence[int]
@@ -43,24 +78,36 @@ class EdgeConvBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """x: (B, N, C) -> (B, N, widths[-1])."""
         b, n, c = x.shape
-        idx = knn_indices(jax.lax.stop_gradient(x), self.k,
-                          use_pallas=self.use_pallas)        # (B, N, K)
-
         w0 = self.widths[0]
         kernel = self.param(
             "layer0_kernel",
             nn.initializers.lecun_normal(),
             (2 * c, w0), x.dtype)
+        bn1 = ManualBN(w0, name="layer0_bn")
+        layers = [
+            _ConvBNLayer(self.widths[i - 1], w, name=f"layer{i}")
+            for i, w in enumerate(self.widths[1:], start=1)
+        ]
+
         wd, wc = kernel[:c], kernel[c:]
+        use_fused = (not train and self.use_pallas and len(self.widths) == 2
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            s1, t1 = bn1.affine()
+            a_table = (x @ wd) * s1
+            b_table = (x @ (wc - wd)) * s1 + t1
+            w2f, bias2 = layers[0].folded()
+            return fused_edgeconv_infer(x, a_table, b_table, w2f, bias2,
+                                        self.k, neg_slope=LEAKY_SLOPE)
+
+        idx = knn_indices(jax.lax.stop_gradient(x), self.k,
+                          use_pallas=self.use_pallas)        # (B, N, K)
         h_nbr = x @ wd                                       # (B, N, w0)
         h_cen = x @ (wc - wd)                                # (B, N, w0)
         h = gather_neighbors(h_nbr, idx) + h_cen[:, :, None, :]  # (B,N,K,w0)
-        h = BatchNorm(use_running_average=not train, name="layer0_bn")(h)
-        h = leaky_relu(h)
-
-        for i, w in enumerate(self.widths[1:], start=1):
-            h = ConvBN(w, name=f"layer{i}")(h, train)        # (B, N, K, w)
-
+        h = leaky_relu(bn1(h, use_running_average=not train))
+        for layer in layers:
+            h = layer(h, train)                              # (B, N, K, w)
         return jnp.max(h, axis=2)                            # (B, N, w_last)
 
 

@@ -37,6 +37,69 @@ class BatchNorm(nn.BatchNorm):
     epsilon: float = 1e-5
 
 
+class ManualBN(nn.Module):
+    """BatchNorm with the same math AND variable names (params scale/bias,
+    batch_stats mean/var) as flax's BatchNorm, but with its parameters
+    declared in setup() so siblings can FOLD the eval-mode affine into
+    adjacent matmuls (used by the fused EdgeConv kernel)."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+        self.ra_mean = self.variable("batch_stats", "mean",
+                                     lambda: jnp.zeros((self.features,)))
+        self.ra_var = self.variable("batch_stats", "var",
+                                    lambda: jnp.ones((self.features,)))
+
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        if use_running_average:
+            mean, var = self.ra_mean.value, self.ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            mean2 = jnp.mean(jnp.square(x), axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                self.ra_mean.value = m * self.ra_mean.value + (1 - m) * mean
+                self.ra_var.value = m * self.ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * (inv * self.scale) + self.bias
+
+    def affine(self):
+        """(scale_eff, shift_eff) of the eval-mode normalisation."""
+        s = self.scale * jax.lax.rsqrt(self.ra_var.value + self.epsilon)
+        return s, self.bias - self.ra_mean.value * s
+
+
+class Conv1x1(nn.Module):
+    """Dense with setup()-declared params (names match nn.Dense) so the
+    kernel is readable without applying the module."""
+
+    in_features: int
+    features: int
+    use_bias: bool = False
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = x @ self.kernel
+        if self.use_bias:
+            y = y + self.bias
+        return y
+
+
 class ConvBN(nn.Module):
     """1x1 conv (Dense) + BatchNorm + optional LeakyReLU.
 
