@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from gfs3dseg_gws_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     model_cfg = model_config_from_args(args)
     data_cfg = data_config_from_args(args)

@@ -3,6 +3,24 @@ get_basis.py:226-299 / pretrain/main.py:15-102) and config construction."""
 from __future__ import annotations
 
 import argparse
+import os
+
+
+def apply_platform_env():
+    """Honour JAX_PLATFORMS for CLI runs.
+
+    Some environments pre-register a TPU plugin that wins over the env var;
+    applying the value through jax.config makes `JAX_PLATFORMS=cpu python
+    train.py ...` behave as documented.
+    """
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
 
 from gfs3dseg_gws_tpu.utils.config import (
     DataConfig,

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from gfs3dseg_gws_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     # the pretrain tree's --use_attention is store_true (pretrain/main.py:79),
     # unlike the GFS CLI's store_false quirk

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from gfs3dseg_gws_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     assert args.energy <= 1
 
