@@ -1,0 +1,161 @@
+"""ctypes binding for the native C++ block-loader (native/blockloader.cc).
+
+The C++ pool replaces the reference's torch DataLoader worker forks
+(SURVEY.md §2.3): worker threads parse .npy blocks, sample fixed 2048-point
+sets with attribute/label computation and augmentation, and hand back
+ready-padded (B, N, 9) float32 batches.
+
+Falls back transparently (is_available() == False) when the shared library
+has not been built; `build()` compiles it with the in-image toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libblockloader.so")
+
+_lib = None
+
+LABEL_LEARNING_ORDER = 0   # sampled_classes.index(label) + 1, bg = 0
+LABEL_ALL_CLASSES = 1      # sampled_classes.index(label), no bg slot
+LABEL_BINARY = 2           # mask of target_class
+
+
+def build(force: bool = False) -> bool:
+    """Compile native/libblockloader.so with make; returns success."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.bl_pool_create.restype = ctypes.c_void_p
+    lib.bl_pool_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_int]
+    lib.bl_pool_num_batches.restype = ctypes.c_int64
+    lib.bl_pool_num_batches.argtypes = [ctypes.c_void_p]
+    lib.bl_pool_get.restype = ctypes.c_int64
+    lib.bl_pool_get.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.bl_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.bl_sample_one.restype = ctypes.c_int
+    lib.bl_sample_one.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def sample_one(path: str, classes: Sequence[int], num_point: int,
+               label_mode: int = LABEL_LEARNING_ORDER, coverage: bool = False,
+               target_class: int = 0, augment: bool = False,
+               aug_config: Optional[dict] = None, seed: int = 0
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-block sampling through the native code (mirrors
+    data/sampler.py::sample_pointcloud semantics)."""
+    lib = _load()
+    assert lib is not None, "native loader not built"
+    aug = aug_config or {}
+    classes_arr = np.asarray(list(classes), dtype=np.int64)
+    pts = np.empty((num_point, 9), np.float32)
+    lbl = np.empty((num_point,), np.int64)
+    seg = np.empty((num_point,), np.float32)
+    rc = lib.bl_sample_one(
+        path.encode(), classes_arr.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)), len(classes_arr),
+        num_point, label_mode, int(coverage), target_class, int(augment),
+        float(aug.get("scale", 0)), int(aug.get("rot", 0)),
+        float(aug.get("mirror_prob", 0)), int(aug.get("jitter", 0)),
+        seed, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    assert rc == 0, f"bl_sample_one failed for {path}"
+    return pts, lbl, seg
+
+
+class NativeBatchPool:
+    """Threaded native batch producer over a list of block files."""
+
+    def __init__(self, data_path: str, block_names: Sequence[str],
+                 classes: Sequence[int], num_point: int, batch_size: int,
+                 label_mode: int = LABEL_LEARNING_ORDER,
+                 augment: bool = False, aug_config: Optional[dict] = None,
+                 seed: int = 0, shuffle: bool = False, n_threads: int = 4):
+        lib = _load()
+        assert lib is not None, "native loader not built"
+        self._lib = lib
+        self.batch_size = batch_size
+        self.num_point = num_point
+        paths = [os.path.join(data_path, "data", f"{n}.npy")
+                 for n in block_names]
+        blob = b"\0".join(p.encode() for p in paths) + b"\0"
+        classes_arr = np.asarray(list(classes), dtype=np.int64)
+        aug = aug_config or {}
+        self._pool = lib.bl_pool_create(
+            blob, len(paths),
+            classes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(classes_arr), num_point, batch_size, label_mode, 0, 0,
+            int(augment), float(aug.get("scale", 0)), int(aug.get("rot", 0)),
+            float(aug.get("mirror_prob", 0)), int(aug.get("jitter", 0)),
+            seed, int(shuffle), n_threads)
+        self.n_batches = lib.bl_pool_num_batches(self._pool)
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self) -> Iterator:
+        b, n = self.batch_size, self.num_point
+        for i in range(self.n_batches):
+            pts = np.empty((b, n, 9), np.float32)
+            lbl = np.empty((b, n), np.int64)
+            seg = np.empty((b, n), np.float32)
+            valid = self._lib.bl_pool_get(
+                self._pool, i,
+                pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                seg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            yield pts, lbl, seg, int(valid)
+
+    def close(self):
+        if self._pool:
+            self._lib.bl_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -59,6 +59,39 @@ from gfs3dseg_gws_tpu.utils.logging import AverageMeter, IOStream, init_logger
 # setup helpers
 # --------------------------------------------------------------------------- #
 
+def train_batches(dataset: PretrainBlockDataset, batch_size: int, seed: int,
+                  epoch: int, shuffle: bool = True, drop_last: bool = True):
+    """Training batches over a block dataset.
+
+    Prefers the native C++ pool (data/native_loader.py) — threaded .npy
+    parsing + sampling + augmentation producing ready (B, N, 9) batches —
+    and falls back to the Python thread-pool iterator. Disable with
+    GFS3D_NO_NATIVE=1.
+    """
+    from gfs3dseg_gws_tpu.data import native_loader as nl
+
+    use_native = not os.environ.get("GFS3D_NO_NATIVE") and nl.is_available()
+    if use_native:
+        label_mode = (nl.LABEL_ALL_CLASSES if dataset.use_all_classes
+                      else nl.LABEL_LEARNING_ORDER)
+        pool = nl.NativeBatchPool(
+            dataset.data_path, dataset.block_names, dataset.classes,
+            dataset.num_point, batch_size, label_mode=label_mode,
+            augment=dataset.pc_augm, aug_config=dataset.pc_augm_config,
+            seed=seed * 10_007 + epoch, shuffle=shuffle)
+        try:
+            for pts, lbl, seg, valid in pool:
+                if drop_last and valid < batch_size:
+                    continue
+                yield pts, lbl, seg
+        finally:
+            pool.close()
+        return
+    for batch in batch_iterator(dataset, batch_size, shuffle=shuffle,
+                                drop_last=drop_last, seed=seed, epoch=epoch):
+        yield batch[0], batch[1], batch[2]
+
+
 @dataclass
 class GFSSetup:
     model: GWCAPL
@@ -382,9 +415,9 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         # ---- one training epoch
         loss_m, acc_m = AverageMeter(), AverageMeter()
         t0 = time.time()
-        for i, batch in enumerate(batch_iterator(
-                setup.train_data, train_cfg.batch_size, shuffle=True,
-                drop_last=True, seed=train_cfg.seed, epoch=epoch)):
+        for i, batch in enumerate(train_batches(
+                setup.train_data, train_cfg.batch_size,
+                seed=train_cfg.seed, epoch=epoch)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             points, labels = batch[0], batch[1].astype(np.int32)

@@ -77,9 +77,11 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
     for epoch in range(pretrain_cfg.n_iters):
         loss_m = AverageMeter()
         t0 = time.time()
-        for i, batch in enumerate(batch_iterator(
-                train_ds, pretrain_cfg.batch_size, shuffle=True,
-                drop_last=True, seed=pretrain_cfg.seed, epoch=epoch)):
+        from gfs3dseg_gws_tpu.pipelines.gfs import train_batches
+
+        for i, batch in enumerate(train_batches(
+                train_ds, pretrain_cfg.batch_size, seed=pretrain_cfg.seed,
+                epoch=epoch)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             points, labels = batch[0], batch[1].astype(np.int32)
