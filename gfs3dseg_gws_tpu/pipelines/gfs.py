@@ -53,6 +53,7 @@ from gfs3dseg_gws_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from gfs3dseg_gws_tpu.utils.logging import AverageMeter, IOStream, init_logger
+from gfs3dseg_gws_tpu.utils.observability import MetricsWriter
 
 
 # --------------------------------------------------------------------------- #
@@ -368,6 +369,7 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
     basis = load_basis(train_cfg.basis_path)
     setup = build_setup(model_cfg, data_cfg, train_cfg, basis)
     logger = logger or init_logger(train_cfg.save_path, phase="train")
+    writer = MetricsWriter(train_cfg.save_path)
     if mesh is None and jax.device_count() > 1:
         mesh = make_mesh()
 
@@ -436,6 +438,8 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         logger.cprint(
             f"Train result at epoch [{epoch}/{train_cfg.epochs}]: "
             f"acc {acc_m.avg:.4f}. ({time.time() - t0:.1f}s)")
+        writer.scalar("Train/loss", loss_m.avg, epoch)
+        writer.scalar("Train/accuracy", acc_m.avg, epoch)
 
         # ---- periodic validation on support seed 0 (train.py:518-544)
         if train_cfg.evaluate and (epoch + 1) % train_cfg.eval_interval == 0:
@@ -458,9 +462,14 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
             history.append({"epoch": epoch, "mean_iou": mean_iou,
                             "base_iou": base_iou, "novel_iou": novel_iou,
                             "hm_iou": hm})
+            writer.scalar("Val/mIoU_val", mean_iou, epoch)
+            writer.scalar("Val/base_mIoU", base_iou, epoch)
+            writer.scalar("Val/novel_mIoU", novel_iou, epoch)
+            writer.scalar("Val/hm_mIoU", hm, epoch)
             _maybe_save(state, base_coding, train_cfg, logger, best, epoch,
                         mean_iou, base_iou, novel_iou, hm)
 
+    writer.close()
     return {"best": best, "history": history, "state": state}
 
 

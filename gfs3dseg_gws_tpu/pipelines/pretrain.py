@@ -24,12 +24,14 @@ from gfs3dseg_gws_tpu.parallel.optim import make_pretrain_optimizer
 from gfs3dseg_gws_tpu.parallel.steps import make_eval_logits_step
 from gfs3dseg_gws_tpu.utils.checkpoint import save_checkpoint, save_torch_pretrain_checkpoint
 from gfs3dseg_gws_tpu.utils.logging import AverageMeter, init_logger
+from gfs3dseg_gws_tpu.utils.observability import MetricsWriter
 
 
 def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
              max_steps_per_epoch: Optional[int] = None,
              export_torch: bool = True) -> Dict:
     logger = logger or init_logger(pretrain_cfg.log_dir, phase="pretrain")
+    writer = MetricsWriter(pretrain_cfg.log_dir)
     if mesh is None and jax.device_count() > 1:
         mesh = make_mesh()
 
@@ -92,6 +94,7 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
             loss_m.update(float(loss))
         logger.cprint(f"=====[Train] Epoch: {epoch} | Loss: {loss_m.avg:.4f} "
                       f"| {time.time() - t0:.1f}s =====")
+        writer.scalar("Train/loss", loss_m.avg, epoch)
 
         if (epoch + 1) % pretrain_cfg.eval_interval == 0 and len(valid_ds):
             variables_now = {"params": state.params,
@@ -114,6 +117,8 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
             logger.cprint(f"===== EPOCH [{epoch}]: Accuracy: {oa:.6f} | "
                           f"mIoU: {miou:.6f} =====")
             history.append({"epoch": epoch, "oa": oa, "miou": miou})
+            writer.scalar("Valid/overall_accuracy", oa, epoch)
+            writer.scalar("Valid/meanIoU", miou, epoch)
             if miou > best_iou:
                 best_iou = miou
                 logger.cprint("*******************Model Saved**************")
@@ -131,4 +136,5 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                     except ImportError:
                         pass
 
+    writer.close()
     return {"best_iou": best_iou, "history": history, "state": state}

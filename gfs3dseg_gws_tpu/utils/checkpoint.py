@@ -275,6 +275,78 @@ def save_torch_pretrain_checkpoint(encoder_params: Dict, encoder_stats: Dict,
     torch.save({"params": sd}, os.path.join(out_dir, "checkpoint.tar"))
 
 
+def save_torch_gfs_checkpoint(params: Dict, batch_stats: Dict, path: str,
+                              epoch: int = 0, max_iou: float = 0.0):
+    """Export a GWCAPL model to the reference's .pth format
+    ({'epoch','state_dict','optimizer','max_iou'}, train.py:561) so reference
+    tooling can evaluate TPU-trained models."""
+    import torch
+
+    sd: Dict[str, Any] = {}
+
+    def put_conv(key, kernel, conv2d=False, bias=None):
+        w = np.asarray(kernel).T
+        w = w.reshape(w.shape + ((1, 1) if conv2d else (1,)))
+        sd[key + ".weight"] = torch.from_numpy(np.ascontiguousarray(
+            w.astype(np.float32)))
+        if bias is not None:
+            sd[key + ".bias"] = torch.from_numpy(
+                np.asarray(bias, np.float32))
+
+    def put_bn(key, p, s):
+        sd[key + ".weight"] = torch.from_numpy(np.asarray(p["scale"],
+                                                          np.float32))
+        sd[key + ".bias"] = torch.from_numpy(np.asarray(p["bias"],
+                                                        np.float32))
+        sd[key + ".running_mean"] = torch.from_numpy(
+            np.asarray(s["mean"], np.float32))
+        sd[key + ".running_var"] = torch.from_numpy(
+            np.asarray(s["var"], np.float32))
+        sd[key + ".num_batches_tracked"] = torch.tensor(0)
+
+    enc_p, enc_s = params["encoder"], batch_stats["encoder"]
+    for i in range(3):
+        base = f"encoder.edge_convs.{i}.layer"
+        blk_p, blk_s = enc_p[f"edgeconv{i}"], enc_s[f"edgeconv{i}"]
+        put_conv(f"{base}.0", blk_p["layer0_kernel"], conv2d=True)
+        put_bn(f"{base}.1", blk_p["layer0_bn"], blk_s["layer0_bn"])
+        j = 1
+        while f"layer{j}" in blk_p:
+            put_conv(f"{base}.{3*j}", blk_p[f"layer{j}"]["conv"]["kernel"],
+                     conv2d=True)
+            put_bn(f"{base}.{3*j+1}", blk_p[f"layer{j}"]["bn"],
+                   blk_s[f"layer{j}"]["bn"])
+            j += 1
+    for j in range(2):
+        put_conv(f"encoder.conv.layer.{3*j}",
+                 enc_p["mlp"][f"layer{j}"]["conv"]["kernel"])
+        put_bn(f"encoder.conv.layer.{3*j+1}", enc_p["mlp"][f"layer{j}"]["bn"],
+               enc_s["mlp"][f"layer{j}"]["bn"])
+
+    bl_p, bl_s = params["base_learner"], batch_stats["base_learner"]
+    i = 0
+    while f"conv{i}" in bl_p:
+        put_conv(f"base_learner.convs.{i}.0", bl_p[f"conv{i}"]["kernel"],
+                 bias=bl_p[f"conv{i}"]["bias"])
+        put_bn(f"base_learner.convs.{i}.1", bl_p[f"bn{i}"], bl_s[f"bn{i}"])
+        i += 1
+
+    for name in ("q_map", "k_map", "v_map"):
+        put_conv(f"att_learner.{name}", params["att_learner"][name]["kernel"])
+
+    put_conv("fusion.0", params["fusion"]["kernel"],
+             bias=params["fusion"]["bias"])
+    put_bn("fusion.1", params["fusion_bn"], batch_stats["fusion_bn"])
+    sd["main_proto"] = torch.from_numpy(np.asarray(params["main_proto"],
+                                                   np.float32))
+    sd["bg_proto"] = torch.from_numpy(np.asarray(params["bg_proto"],
+                                                 np.float32))
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save({"epoch": epoch, "state_dict": sd, "optimizer": {},
+                "max_iou": max_iou}, path)
+
+
 def load_basis(path: str) -> np.ndarray:
     """Pickled geometric-word basis (reference get_basis.py:219-222)."""
     with open(path, "rb") as f:

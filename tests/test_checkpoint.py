@@ -1,0 +1,95 @@
+"""Checkpoint I/O: native npz round trips + torch-format round trips."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfs3dseg_gws_tpu.models import GWCAPL, DGCNN
+from gfs3dseg_gws_tpu.utils.checkpoint import (
+    _flatten,
+    load_checkpoint,
+    load_torch_gfs_checkpoint,
+    load_torch_pretrain_checkpoint,
+    restore_into,
+    save_checkpoint,
+    save_torch_gfs_checkpoint,
+    save_torch_pretrain_checkpoint,
+)
+
+TINY = dict(classes=13, base_num=7, num_gw=10, main_dim=16,
+            edgeconv_widths=((8, 8), (8, 8), (8, 8)), mlp_widths=(16, 16),
+            base_widths=(8, 8), output_dim=8, k=5, use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def capl_variables():
+    model = GWCAPL(**TINY)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 32, 9))
+    y = jnp.zeros((2, 32), jnp.int32)
+    gp = jax.random.normal(rng, (10, 24))
+    return model, model.init({"params": rng, "dropout": rng, "fake": rng},
+                             x, y, gp, train=True)
+
+
+def _assert_trees_equal(a, b):
+    fa = _flatten(a)
+    fb = _flatten(b)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_allclose(fa[k], fb[k], rtol=1e-6,
+                                   err_msg=k)
+
+
+class TestNativeNpz:
+    def test_roundtrip_with_meta(self, capl_variables, tmp_path):
+        _, variables = capl_variables
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, variables, {"epoch": 7, "max_iou": 0.5})
+        flat, meta = load_checkpoint(path)
+        assert meta == {"epoch": 7, "max_iou": 0.5}
+        restored = restore_into(variables, flat)
+        _assert_trees_equal(variables, restored)
+
+    def test_strict_missing_key_raises(self, capl_variables, tmp_path):
+        _, variables = capl_variables
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, variables["params"])
+        flat, _ = load_checkpoint(path)
+        del flat["main_proto"]
+        with pytest.raises(KeyError):
+            restore_into(variables["params"], flat)
+        # non-strict keeps the target value
+        restored = restore_into(variables["params"], flat, strict=False)
+        np.testing.assert_array_equal(
+            np.asarray(restored["main_proto"]),
+            np.asarray(variables["params"]["main_proto"]))
+
+
+class TestTorchFormats:
+    def test_gfs_pth_roundtrip(self, capl_variables, tmp_path):
+        pytest.importorskip("torch")
+        _, variables = capl_variables
+        path = str(tmp_path / "model.pth")
+        save_torch_gfs_checkpoint(variables["params"],
+                                  variables["batch_stats"], path,
+                                  epoch=3, max_iou=0.42)
+        params, stats, meta = load_torch_gfs_checkpoint(path)
+        assert meta == {"epoch": 3, "max_iou": 0.42}
+        _assert_trees_equal(variables["params"], params)
+        _assert_trees_equal(variables["batch_stats"], stats)
+
+    def test_pretrain_tar_roundtrip(self, tmp_path):
+        pytest.importorskip("torch")
+        model = DGCNN(edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+                      mlp_widths=(16, 16), k=5, use_pallas=False)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 9)))
+        out_dir = str(tmp_path / "pre")
+        save_torch_pretrain_checkpoint(variables["params"],
+                                       variables["batch_stats"], out_dir)
+        assert os.path.exists(os.path.join(out_dir, "checkpoint.tar"))
+        params, stats = load_torch_pretrain_checkpoint(out_dir)
+        _assert_trees_equal(variables["params"], params)
+        _assert_trees_equal(variables["batch_stats"], stats)
