@@ -89,6 +89,24 @@ def gfs_miou(
     return mean_iou, base_iou, novel_iou, float(hm), iou_list
 
 
+def intersection_and_union(pred: jax.Array, gt: jax.Array, num_classes: int,
+                           ignore_index: int = 255):
+    """Histogram IoU counts (reference util/util.py:64-104): per-class
+    intersection, prediction-area, and target-area counts, vectorised."""
+    pred = pred.reshape(-1)
+    gt = gt.reshape(-1)
+    valid = gt != ignore_index
+    pred = jnp.where(valid, pred, num_classes)  # overflow bucket
+    gt = jnp.where(valid, gt, num_classes)
+    inter_mask = pred == gt
+    area_inter = jnp.bincount(jnp.where(inter_mask, pred, num_classes),
+                              length=num_classes + 1)[:num_classes]
+    area_pred = jnp.bincount(pred, length=num_classes + 1)[:num_classes]
+    area_gt = jnp.bincount(gt, length=num_classes + 1)[:num_classes]
+    area_union = area_pred + area_gt - area_inter
+    return area_inter, area_union, area_gt
+
+
 def fewshot_accumulate(cm_global: np.ndarray, cm_episode: np.ndarray,
                        label2class: Sequence[int],
                        test_classes: Sequence[int]) -> None:

@@ -22,6 +22,19 @@ def step_lr(base_lr: float, step_size_epochs: int, gamma: float,
     return schedule
 
 
+def step_learning_rate(base_lr: float, epoch: int, step_epoch: int,
+                       multiplier: float = 0.1) -> float:
+    """Reference util/util.py:45-49 (unused by the main pipeline but part of
+    the public utility surface)."""
+    return base_lr * (multiplier ** (epoch // step_epoch))
+
+
+def poly_learning_rate(base_lr: float, curr_iter: int, max_iter: int,
+                       power: float = 0.9) -> float:
+    """Reference util/util.py:52-55."""
+    return base_lr * (1 - float(curr_iter) / max_iter) ** power
+
+
 def make_gfs_optimizer(base_lr: float, steps_per_epoch: int,
                        step_size: int = 50, gamma: float = 0.5,
                        encoder_lr_scale: float = 0.1,
