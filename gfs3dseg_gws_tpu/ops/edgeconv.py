@@ -34,50 +34,56 @@ def _gather_fwd_impl(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 def _scatter_bwd_kernel(idx_ref, g_ref, out_ref, *, k: int, n: int):
     """Accumulate grad wrt the gather table: out[j] += sum over (i,kk) with
-    idx[i,kk]==j of g[i,kk]. One (N, TQ)x(TQ, C) MXU matmul per neighbour
-    slot, onehots built from equality against an iota."""
-    j = pl.program_id(1)
+    idx[i,kk]==j of g[i,kk]. One grid step per (batch, neighbour-slot,
+    query-tile): the equality onehot against an iota turns the scatter into
+    an (N, TQ)x(TQ, C) MXU matmul. The neighbour slot is a GRID dimension
+    (not an in-kernel loop), keeping the Mosaic program tiny."""
+    kk = pl.program_id(1)
+    j = pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when((kk == 0) & (j == 0))
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    idx_tile = idx_ref[0]                                    # (TQ, K)
-    g_tile = g_ref[0]                                        # (TQ, K, C)
-    tq = idx_tile.shape[0]
+    idx_all = idx_ref[0]                                     # (K, TQ)
+    tq = idx_all.shape[1]
+    # masked-reduce row kk (the sublane dim cannot be dynamically indexed)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, tq), 0)
+    idx_row = jnp.sum(jnp.where(iota_k == kk, idx_all, 0), axis=0)  # (TQ,)
+    g_slab = g_ref[0, kk]                    # (TQ, C) — leading dim is untiled
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
-    acc = out_ref[0]
-    for kk in range(k):
-        onehot = (iota_n == idx_tile[:, kk][:, None])        # (TQ, N)
-        contrib = jax.lax.dot_general(
-            onehot.astype(jnp.bfloat16), g_tile[:, kk].astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (N, C)
-        acc = acc + contrib
-    out_ref[0] = acc
+    onehot = (iota_n == idx_row[:, None])                    # (TQ, N)
+    contrib = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), g_slab.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (N, C)
+    out_ref[0] = out_ref[0] + contrib
 
 
 def _scatter_bwd_pallas(idx: jax.Array, g: jax.Array, n: int,
-                        tile_q: int = 256) -> jax.Array:
+                        tile_q: int = 1024) -> jax.Array:
     b, nq, k, c = g.shape
+    tile_q = min(tile_q, nq)
     if nq % tile_q != 0:
         return _scatter_bwd_xla(idx, g, n)
+    idx_t = jnp.transpose(idx, (0, 2, 1))                    # (B, K, NQ)
+    g_t = jnp.transpose(g, (0, 2, 1, 3))                     # (B, K, NQ, C)
     kern = functools.partial(_scatter_bwd_kernel, k=k, n=n)
     return pl.pallas_call(
         kern,
-        grid=(b, nq // tile_q),
+        grid=(b, k, nq // tile_q),
         in_specs=[
-            pl.BlockSpec((1, tile_q, k), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, k, tile_q), lambda i, kk, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, k, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, k, tile_q, c), lambda i, kk, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n, c), lambda i, kk, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(idx, g)
+    )(idx_t, g_t)
 
 
 def _scatter_bwd_xla(idx: jax.Array, g: jax.Array, n: int) -> jax.Array:

@@ -31,7 +31,8 @@ _INT_MAX = 2 ** 31 - 1
 
 
 def _fused_kernel(x_tile_ref, x_all_ref, a_ref, b_ref, w2_ref, bias2_ref,
-                  out_ref, *, k: int, idx_bits: int, neg_slope: float):
+                  out_ref, keys_ref, acc_ref, *, k: int, unroll: int,
+                  idx_bits: int, neg_slope: float):
     q = x_tile_ref[0].astype(jnp.float32)                   # (TQ, C)
     kk = x_all_ref[0].astype(jnp.float32)                   # (N, C)
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
@@ -43,27 +44,38 @@ def _fused_kernel(x_tile_ref, x_all_ref, a_ref, b_ref, w2_ref, bias2_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
     bits = pltpu.bitcast(d2, jnp.int32)
     mask = (1 << idx_bits) - 1
-    keys = (bits & ~mask) | col
+    keys_ref[:] = (bits & ~mask) | col
 
     a_tab = a_ref[0].astype(jnp.bfloat16)                   # (N, W0)
     b_cen = b_ref[0].astype(jnp.float32)                    # (TQ, W0)
     w2 = w2_ref[:].astype(jnp.bfloat16)                     # (W0, W1)
     bias2 = bias2_ref[:].astype(jnp.float32)                # (1, W1)
+    acc_ref[:] = jnp.full_like(acc_ref[:], -jnp.inf)
 
-    acc = jnp.full((m, w2.shape[1]), -jnp.inf, jnp.float32)
-    for _ in range(k):
-        best = jnp.min(keys, axis=-1)                       # (TQ,)
-        hit = keys == best[:, None]                         # (TQ, N) onehot
-        keys = jnp.where(hit, _INT_MAX, keys)
-        nbr = jnp.dot(hit.astype(jnp.bfloat16), a_tab,
-                      preferred_element_type=jnp.float32)   # (TQ, W0)
-        e = nbr + b_cen
-        e = jnp.where(e >= 0, e, neg_slope * e)             # leaky
-        l2 = jnp.dot(e.astype(jnp.bfloat16), w2,
-                     preferred_element_type=jnp.float32) + bias2
-        l2 = jnp.where(l2 >= 0, l2, neg_slope * l2)
-        acc = jnp.maximum(acc, l2)
-    out_ref[0] = acc
+    # chunk-unrolled extraction: `unroll` rounds per fori_loop iteration
+    # balances Mosaic compile time (full unroll: minutes/shape) against
+    # runtime (fully rolled: ~1.5x slower)
+    def body(i, _):
+        keys = keys_ref[:]
+        acc = acc_ref[:]
+        for _u in range(unroll):
+            best = jnp.min(keys, axis=-1)                   # (TQ,)
+            hit = keys == best[:, None]                     # (TQ, N) onehot
+            keys = jnp.where(hit, _INT_MAX, keys)
+            nbr = jnp.dot(hit.astype(jnp.bfloat16), a_tab,
+                          preferred_element_type=jnp.float32)   # (TQ, W0)
+            e = nbr + b_cen
+            e = jnp.where(e >= 0, e, neg_slope * e)         # leaky
+            l2 = jnp.dot(e.astype(jnp.bfloat16), w2,
+                         preferred_element_type=jnp.float32) + bias2
+            l2 = jnp.where(l2 >= 0, l2, neg_slope * l2)
+            acc = jnp.maximum(acc, l2)
+        keys_ref[:] = keys
+        acc_ref[:] = acc
+        return 0
+
+    jax.lax.fori_loop(0, k // unroll, body, 0)
+    out_ref[0] = acc_ref[:]
 
 
 def fused_edgeconv_infer(x: jax.Array, a_table: jax.Array, b_table: jax.Array,
@@ -90,7 +102,10 @@ def fused_edgeconv_infer(x: jax.Array, a_table: jax.Array, b_table: jax.Array,
     if n % tile_q != 0:
         return _fused_edgeconv_xla(x, a_table, b_table, w2, bias2, k,
                                    neg_slope)
+    from gfs3dseg_gws_tpu.ops.knn import _pick_unroll
+
     kern = functools.partial(_fused_kernel, k=k,
+                             unroll=_pick_unroll(k, 5),
                              idx_bits=(n - 1).bit_length(),
                              neg_slope=neg_slope)
     return pl.pallas_call(
@@ -113,6 +128,8 @@ def fused_edgeconv_infer(x: jax.Array, a_table: jax.Array, b_table: jax.Array,
         out_specs=pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, w1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_q, n), jnp.int32),
+                        pltpu.VMEM((tile_q, w1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(x, x, a_table, b_table, w2, bias2.reshape(1, w1))

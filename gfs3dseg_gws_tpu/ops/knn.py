@@ -60,7 +60,16 @@ def _topk_iterative(scores: jax.Array, k: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)                         # (M, k)
 
 
-def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int, idx_bits: int):
+def _pick_unroll(k: int, unroll: int) -> int:
+    """Largest divisor of k that is <= unroll (chunked-unroll factor)."""
+    for u in range(min(unroll, k), 0, -1):
+        if k % u == 0:
+            return u
+    return 1
+
+
+def _knn_kernel(x_tile_ref, x_all_ref, out_ref, keys_ref, cols_ref, *,
+                k: int, unroll: int, idx_bits: int):
     """Packed min-extraction kNN.
 
     Squared distances are nonnegative, so their IEEE-754 bit patterns are
@@ -70,6 +79,12 @@ def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int, idx_bits: int):
     compare-and-mask — ~4x faster than an argmax-based extraction, at the
     cost of neighbour swaps only between points whose distances agree to
     ~2^-12 relative (ties for all practical purposes).
+
+    The round loop is CHUNK-unrolled (`unroll` rounds per fori_loop
+    iteration): full unrolling makes Mosaic compile minutes-slow per shape,
+    full rolling costs ~2x runtime; chunks of ~5 get both. Results land in a
+    (TQ, k) scratch via masked selects because the lane dimension cannot be
+    dynamically indexed.
     """
     q = x_tile_ref[0].astype(jnp.float32)                   # (TQ, C)
     kk = x_all_ref[0].astype(jnp.float32)                   # (N, C)
@@ -80,25 +95,40 @@ def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int, idx_bits: int):
 
     m, n = d2.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
-    bits = pltpu.bitcast(d2, jnp.int32)
     mask = (1 << idx_bits) - 1
-    keys = (bits & ~mask) | col
+    keys_ref[:] = (pltpu.bitcast(d2, jnp.int32) & ~mask) | col
     int_max = 2 ** 31 - 1
-    cols = []
-    for _ in range(k):
-        best = jnp.min(keys, axis=-1)                       # (TQ,)
-        cols.append(best & mask)
-        keys = jnp.where(keys == best[:, None], int_max, keys)
-    out_ref[0] = jnp.stack(cols, axis=-1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+
+    def body(i, _):
+        keys = keys_ref[:]
+        cols = cols_ref[:]
+        for u in range(unroll):
+            best = jnp.min(keys, axis=-1)                   # (TQ,)
+            cols = jnp.where(iota_k == i * unroll + u,
+                             (best & mask)[:, None], cols)
+            keys = jnp.where(keys == best[:, None], int_max, keys)
+        keys_ref[:] = keys
+        cols_ref[:] = cols
+        return 0
+
+    jax.lax.fori_loop(0, k // unroll, body, 0)
+    out_ref[0] = cols_ref[:]
 
 
-def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512) -> jax.Array:
+def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512,
+                unroll: int = 5) -> jax.Array:
     b, n, c = x.shape
     tile_q = min(tile_q, n)
-    if n % tile_q != 0:
+    # Mosaic compiles this kernel in seconds at n=2048 but takes minutes at
+    # smaller point counts (observed 73s@768, 209s@1024 — a compiler
+    # pathology around the masked-select scratch writes); the exact XLA path
+    # is fast enough below production size.
+    if n % tile_q != 0 or n < 2048:
         return _knn_xla(x, k)
     grid = (b, n // tile_q)
-    kern = functools.partial(_knn_kernel, k=k, idx_bits=(n - 1).bit_length())
+    kern = functools.partial(_knn_kernel, k=k, unroll=_pick_unroll(k, unroll),
+                             idx_bits=(n - 1).bit_length())
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -111,6 +141,8 @@ def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512) -> jax.Array:
         out_specs=pl.BlockSpec((1, tile_q, k), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tile_q, n), jnp.int32),
+                        pltpu.VMEM((tile_q, k), jnp.int32)],
     )(x, x)
 
 
