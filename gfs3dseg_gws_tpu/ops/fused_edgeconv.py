@@ -104,8 +104,12 @@ def fused_edgeconv_infer(x: jax.Array, a_table: jax.Array, b_table: jax.Array,
                                    neg_slope)
     from gfs3dseg_gws_tpu.ops.knn import _pick_unroll
 
+    # Mosaic compile time is wildly non-monotonic in the unroll factor:
+    # at production N (2048) a FULL unroll with scratch-ref state compiles in
+    # ~20s and runs fastest; at small N partial unrolls compile 100x faster.
+    unroll = k if n >= 2048 else _pick_unroll(k, 5)
     kern = functools.partial(_fused_kernel, k=k,
-                             unroll=_pick_unroll(k, 5),
+                             unroll=unroll,
                              idx_bits=(n - 1).bit_length(),
                              neg_slope=neg_slope)
     return pl.pallas_call(

@@ -127,7 +127,10 @@ def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512,
     if n % tile_q != 0 or n < 2048:
         return _knn_xla(x, k)
     grid = (b, n // tile_q)
-    kern = functools.partial(_knn_kernel, k=k, unroll=_pick_unroll(k, unroll),
+    # full unroll at production N compiles fast with scratch-ref state and
+    # runs ~2x faster than chunked; see fused_edgeconv for the same trade
+    u = k if n >= 2048 else _pick_unroll(k, unroll)
+    kern = functools.partial(_knn_kernel, k=k, unroll=u,
                              idx_bits=(n - 1).bit_length())
     return pl.pallas_call(
         kern,
