@@ -22,13 +22,7 @@ def apply_platform_env():
         except Exception:
             pass
 
-from gfs3dseg_gws_tpu.utils.config import (
-    DataConfig,
-    ModelConfig,
-    PretrainConfig,
-    TrainConfig,
-    parse_widths,
-)
+from gfs3dseg_gws_tpu.utils.config import DataConfig, ModelConfig, parse_widths
 
 
 def add_data_args(p: argparse.ArgumentParser):

@@ -7,8 +7,7 @@ then stacked into (B, N, C) arrays. Fixed shapes mean one XLA compilation.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import itertools
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 

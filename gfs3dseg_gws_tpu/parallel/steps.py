@@ -11,7 +11,6 @@ confusion-matrix update, with only (C, C) counts leaving the device.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -50,6 +49,22 @@ def _shardings(mesh: Optional[Mesh]):
     if mesh is None:
         return None, None
     return NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
+
+
+_STEP_CACHE: dict = {}
+
+
+def cached_step(factory, *key_args, **factory_kwargs):
+    """Memoise jitted step functions.
+
+    jax.jit caches on the identity of the wrapped Python function, so
+    re-invoking a make_*_step factory per epoch/validation would recompile
+    every time; pipelines route through this cache instead. Keys must be
+    hashable (model/mesh instances are fine)."""
+    key = (factory.__name__, key_args, tuple(sorted(factory_kwargs.items())))
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = factory(*key_args, **factory_kwargs)
+    return _STEP_CACHE[key]
 
 
 def make_gfs_train_step(model, mesh: Optional[Mesh] = None,

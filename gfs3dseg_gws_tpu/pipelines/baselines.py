@@ -36,7 +36,7 @@ from gfs3dseg_gws_tpu.utils.checkpoint import (
     restore_into,
     save_checkpoint,
 )
-from gfs3dseg_gws_tpu.utils.logging import AverageMeter, init_logger
+from gfs3dseg_gws_tpu.utils.logging import init_logger
 
 
 @dataclass(frozen=True)

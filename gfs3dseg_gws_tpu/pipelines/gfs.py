@@ -44,6 +44,7 @@ from gfs3dseg_gws_tpu.parallel import (
     replicate,
     shard_batch,
 )
+from gfs3dseg_gws_tpu.parallel.steps import cached_step
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_basis,
     load_checkpoint,
@@ -182,7 +183,7 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
 
     Returns (base_class_coding (n_base, K) multi-hot, bg_class_coding (K,)).
     """
-    step = make_coding_step(model, n_base, mesh)
+    step = cached_step(make_coding_step, model, n_base, mesh)
     k = gp.shape[0]
     sums = np.zeros((n_base, k), np.float64)
     counts = np.zeros((n_base,), np.float64)
@@ -196,9 +197,8 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
             points = points[:valid]
             labels = labels[:valid]
         if mesh is not None and points.shape[0] % mesh.devices.size != 0:
-            mesh_in = None  # final ragged batch runs unsharded
-            s, c, b, nb = make_coding_step(model, n_base, None)(
-                variables, points, labels, gp)
+            s, c, b, nb = cached_step(make_coding_step, model, n_base,
+                                      None)(variables, points, labels, gp)
         else:
             s, c, b, nb = step(
                 variables,
@@ -225,7 +225,7 @@ def register_novel_protos(model, variables, gp, supp_dataset,
     base rows copy main_proto; rows L2-normalised. Novel coding = summed GW
     histograms -> probability -> energy multi-hot.
     """
-    step = make_fg_feat_step(model, mesh)
+    step = cached_step(make_fg_feat_step, model, mesh)
     dim = main_proto.shape[1]
     k = gp.shape[0]
     feat_acc: Dict[int, List[np.ndarray]] = {c: [] for c in novel_class_list}
@@ -258,7 +258,7 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
              num_classes: int, batch_size: int = 16, mesh=None,
              scannet: bool = False, logger: Optional[IOStream] = None):
     """Full static_test sweep -> GFS metric (reference train.py:666-731)."""
-    eval_step = make_gfs_eval_step(model, num_classes, mesh)
+    eval_step = cached_step(make_gfs_eval_step, model, num_classes, mesh)
     cm = np.zeros((num_classes, num_classes), np.float64)
     gp_acc_m, gp_nacc_m = AverageMeter(), AverageMeter()
     args_rep = (gp, jnp.asarray(gened_proto), jnp.asarray(base_coding),
@@ -510,10 +510,6 @@ def _load_encoder_any(path: str):
                  if k.startswith("params/encoder/")}
         enc_s = {k[len("batch_stats/encoder/"):]: v for k, v in flat.items()
                  if k.startswith("batch_stats/encoder/")}
-
-        class _Pre:  # already-flat dict wrapper for restore_into
-            pass
-
         return _unflat(enc_p), _unflat(enc_s)
     return load_torch_pretrain_checkpoint(path)
 

@@ -8,8 +8,8 @@ from __future__ import annotations
 
 import ast
 import dataclasses
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 
 @dataclass(frozen=True)
