@@ -5,6 +5,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from gfs3dseg_gws_tpu.utils.config import DataConfig, ModelConfig, parse_widths
+
 
 def apply_platform_env():
     """Honour JAX_PLATFORMS for CLI runs.
@@ -21,8 +23,6 @@ def apply_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
-
-from gfs3dseg_gws_tpu.utils.config import DataConfig, ModelConfig, parse_widths
 
 
 def add_data_args(p: argparse.ArgumentParser):
