@@ -392,6 +392,21 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                             train_cfg.step_size, train_cfg.gamma,
                             train_cfg.encoder_lr_scale)
     state = TrainState.create(params, batch_stats, tx)
+
+    # resume: --start_epoch N + a model checkpoint restores params, BN
+    # stats, the optimizer moments and the step counter (the reference
+    # restores the torch optimizer the same way, checkpoint_util.py:38-44)
+    if train_cfg.start_epoch > 0 and train_cfg.model_checkpoint_path:
+        logger.cprint("----- resuming from checkpoint -----")
+        flat, meta = load_checkpoint(train_cfg.model_checkpoint_path)
+        restored = restore_into(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step},
+            flat, strict=False)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              opt_state=restored["opt_state"],
+                              step=jnp.asarray(restored["step"]))
     if mesh is not None:
         state = replicate(state, mesh)
         gp_dev = replicate(setup.gp, mesh)
@@ -476,7 +491,9 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
 def _maybe_save(state, base_coding, train_cfg, logger, best, epoch,
                 mean_iou, base_iou, novel_iou, hm):
     tree = {"params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats)}
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": jax.device_get(state.step)}
     meta = {"epoch": epoch, "max_iou": mean_iou}
 
     def save(name):
