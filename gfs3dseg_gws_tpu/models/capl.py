@@ -52,6 +52,7 @@ class GWCAPL(nn.Module):
     mlp_widths: Sequence[int] = (512, 256)
     base_widths: Sequence[int] = (128, 64)
     output_dim: int = 64
+    attn_dropout: float = 0.1
     k: int = 20
     use_pallas: bool = True
 
@@ -59,7 +60,7 @@ class GWCAPL(nn.Module):
         self.encoder = DGCNN(self.edgeconv_widths, self.mlp_widths, k=self.k,
                              use_pallas=self.use_pallas)
         self.base_learner = BaseLearner(self.base_widths)
-        self.att_learner = SelfAttention(self.output_dim)
+        self.att_learner = SelfAttention(self.output_dim, self.attn_dropout)
         # fusion of geometric-word code with the semantic feature
         # (reference capl.py:63-65); input order [cosine_feat, semantic_feat]
         self.fusion_conv = nn.Dense(self.main_dim, use_bias=True, name="fusion")

@@ -156,6 +156,8 @@ def build_setup(model_cfg, data_cfg, train_cfg, basis: np.ndarray) -> GFSSetup:
         edgeconv_widths=model_cfg.edgeconv_widths,
         mlp_widths=model_cfg.dgcnn_mlp_widths,
         base_widths=model_cfg.base_widths, output_dim=model_cfg.output_dim,
+        attn_dropout=model_cfg.attn_dropout,
+        cosine_scale=model_cfg.cosine_scale,
         k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
 
     return GFSSetup(model, jnp.asarray(basis), reg_test, reg_train,

@@ -23,14 +23,12 @@ class ModelConfig:
     dgcnn_mlp_widths: Tuple[int, ...] = (512, 256)
     base_widths: Tuple[int, ...] = (128, 64)
     output_dim: int = 64          # self-attention output channels
-    attn_dropout: float = 0.1
-    use_attention: bool = True
+    attn_dropout: float = 0.1     # dropout on attention weights (attention.py:30)
+    use_attention: bool = True    # baselines may swap attention for a linear map
     # CAPL head
     main_dim: int = 128           # prototype dimension (capl.py:54)
     cosine_scale: float = 10.0    # logits scaling (capl.py:322,349)
-    # numerics
-    dtype: str = "float32"        # compute dtype for parity; "bfloat16" for speed
-    use_pallas: bool = True       # fused Pallas kNN on TPU (XLA fallback elsewhere)
+    use_pallas: bool = True       # fused Pallas TPU kernels (XLA fallback elsewhere)
 
     @property
     def pc_in_dim(self) -> int:
