@@ -1,0 +1,51 @@
+"""Full GFS train/evaluate pipeline ON the virtual 8-device mesh — the
+shape the driver and real v5e-8 runs use (pipelines auto-mesh when
+jax.device_count() > 1; here we pass it explicitly)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from gfs3dseg_gws_tpu.data import make_synthetic_blocks
+from gfs3dseg_gws_tpu.parallel import make_mesh
+from gfs3dseg_gws_tpu.pipelines.gfs import evaluate_gfs, train_gfs
+from gfs3dseg_gws_tpu.utils.config import DataConfig, ModelConfig, TrainConfig, replace
+
+NPTS = 96
+TINY = dict(edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+            dgcnn_mlp_widths=(16, 16), base_widths=(8, 8), output_dim=8,
+            main_dim=16, dgcnn_k=5, use_pallas=False, pc_npts=NPTS)
+
+
+@pytest.mark.slow
+def test_train_and_evaluate_on_mesh(tmp_path):
+    root = str(tmp_path)
+    train_dir, test_dir = make_synthetic_blocks(
+        root, n_train_blocks=40, n_test_blocks=13, points_per_block=1500,
+        seed=13)
+    basis_path = os.path.join(root, "basis.pkl")
+    with open(basis_path, "wb") as f:
+        pickle.dump(np.random.default_rng(0).standard_normal(
+            (10, 24)).astype(np.float32), f)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    model_cfg = ModelConfig(**TINY)
+    data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                          testing_data_path=test_dir, pc_npts=NPTS, k_shot=2)
+    save = os.path.join(root, "gfs")
+    train_cfg = TrainConfig(batch_size=8, epochs=2, eval_interval=2,
+                            coding_interval=2, basis_path=basis_path,
+                            save_path=save, print_freq=1000)
+    out = train_gfs(model_cfg, data_cfg, train_cfg, mesh=mesh,
+                    max_steps_per_epoch=3)
+    assert out["history"], "mesh training should evaluate"
+    assert np.isfinite(out["history"][-1]["mean_iou"])
+
+    ckpts = [f for f in os.listdir(save) if f.startswith("train_")]
+    eval_cfg = replace(train_cfg, only_evaluate=True,
+                       model_checkpoint_path=os.path.join(save, ckpts[0]))
+    metrics = evaluate_gfs(model_cfg, data_cfg, eval_cfg, mesh=mesh)
+    assert np.isfinite(metrics["mean_iou"])
