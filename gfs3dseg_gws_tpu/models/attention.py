@@ -15,6 +15,7 @@ from flax import linen as nn
 class SelfAttention(nn.Module):
     out_channels: int = 64
     attn_dropout: float = 0.1
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -23,7 +24,14 @@ class SelfAttention(nn.Module):
         k = nn.Dense(self.out_channels, use_bias=False, name="k_map")(x)
         v = nn.Dense(self.out_channels, use_bias=False, name="v_map")(x)
 
-        temperature = jnp.asarray(self.out_channels, x.dtype) ** 0.5
+        temperature = float(self.out_channels) ** 0.5
+        if (not train and self.use_pallas
+                and jax.default_backend() == "tpu"):
+            # fused kernel: the (B, N, N) weight matrix stays in VMEM
+            from gfs3dseg_gws_tpu.ops.attention_kernel import fused_attention
+
+            return fused_attention(q, k, v, temperature).astype(x.dtype)
+
         attn = jnp.einsum("bmc,bnc->bmn", q / temperature, k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
