@@ -107,3 +107,35 @@ def test_gfs_train_cli(synth):
         "--seed", "0"] + TINY_FLAGS)
     log = open(os.path.join(save, "log_test.txt")).read()
     assert "Eval result: Final mIoU" in log
+
+
+@pytest.mark.slow
+def test_gfs_train_cli_scannet(tmp_path):
+    """ScanNet variant: 21 classes, energy 0.95, metric skips class 0."""
+    from gfs3dseg_gws_tpu.data.registry import SCANNET_CLASSNAMES
+
+    root = str(tmp_path)
+    train_dir, test_dir = make_synthetic_blocks(
+        root, dataset="scannet", n_train_blocks=60, n_test_blocks=21,
+        points_per_block=1200, n_classes=21, classnames=SCANNET_CLASSNAMES,
+        seed=21)
+    import pickle
+
+    basis_path = os.path.join(root, "basis.pkl")
+    with open(basis_path, "wb") as f:
+        pickle.dump(np.random.default_rng(0).standard_normal(
+            (8, 24)).astype(np.float32), f)
+    save = os.path.join(root, "gfs_scannet")
+    run_cli("train.py", [
+        "--phase", "train", "--dataset", "scannet", "--cvfold", "0",
+        "--total_classes", "21",
+        "--data_path", train_dir, "--testing_data_path", test_dir,
+        "--basis_path", basis_path, "--save_path", save,
+        "--epochs", "5", "--batch_size", "8", "--k_shot", "1",
+        "--print_freq", "100", "--energy", "0.95",
+        "--seed", "0"] + TINY_FLAGS)
+    log = open(os.path.join(save, "log_train.txt")).read()
+    assert "Final mIoU" in log
+    # k_shot=1: exactly one support shot per novel class materialised
+    supp = os.path.join(train_dir, "ValSupp_S0_K1_Seed10", "pcd")
+    assert len(os.listdir(supp)) == 6
