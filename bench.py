@@ -15,6 +15,7 @@ tunnel overhead.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import sys
 import time
 
 import jax
@@ -22,6 +23,42 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_BLOCKS_PER_SEC_PER_CHIP = 5000.0 / 8.0
+
+
+def bench_train():
+    """Optional: `python bench.py --train` measures the TRAINING step
+    (fwd+bwd+Adam) at the reference batch size."""
+    from gfs3dseg_gws_tpu.models.capl import GWCAPL
+    from gfs3dseg_gws_tpu.parallel import (
+        TrainState, make_gfs_optimizer, make_gfs_train_step)
+
+    b, n = 16, 2048
+    model = GWCAPL(classes=13, base_num=7, num_gw=150, main_dim=128,
+                   use_pallas=jax.default_backend() == "tpu")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, 9))
+    y = jax.random.randint(jax.random.PRNGKey(2), (b, n), 0, 8)
+    gp = jax.random.normal(jax.random.PRNGKey(3), (150, 192))
+    variables = model.init({"params": rng, "dropout": rng, "fake": rng},
+                           x, y, gp, train=True)
+    tx = make_gfs_optimizer(0.01, steps_per_epoch=100)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    step = make_gfs_train_step(model, mesh=None, donate=False)
+    state, loss, _ = step(state, x, y, gp, rng)
+    float(loss)  # sync
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = step(state, x, y, gp, rng)
+    float(loss)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "gfs_train_2048pt_blocks_per_sec_per_chip",
+        "value": round(b * iters / dt, 2),
+        "unit": "blocks/s/chip",
+        "vs_baseline": None,
+    }))
 
 
 def main():
@@ -81,4 +118,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()
