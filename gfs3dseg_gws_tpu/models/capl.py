@@ -302,6 +302,43 @@ class GWCAPL(nn.Module):
         pred = jnp.argmax(x_pre_2, axis=-1)
         return pred, ce_loss
 
+    def evaluate_multi(self, x: jax.Array, gp: jax.Array,
+                       gened_protos: jax.Array, base_coding: jax.Array,
+                       novel_codings: jax.Array,
+                       y: Optional[jax.Array] = None) -> Tuple[jax.Array,
+                                                               jax.Array,
+                                                               jax.Array]:
+        """Evaluate S registered prototype sets in ONE feature sweep.
+
+        The reference's 5-support-seed evaluation (train.py:465-489) reruns
+        the full network per seed; the encoder does not depend on the seed,
+        so here features are computed once and the S heads (prototype merge,
+        cosine logits, GW re-weighting) are vmapped over the seed axis —
+        an ~S-fold reduction of evaluation wall clock.
+
+        gened_protos: (S, cls, main_dim); novel_codings: (S, n_novel, num_gw).
+        Returns (logits (S, B, N, cls), gp_acc (S,), gp_novel_acc (S,)).
+        """
+        point_feat, _, gw_onehot = self.get_features(x, gp, train=False)
+        base = self.base_num
+        refine = self.post_refine_proto(self.main_proto, point_feat,
+                                        use_bg_proto=False)   # (B, cls, C)
+
+        def head(gened_proto, novel_coding):
+            merged = jnp.concatenate([
+                refine[:, :base] + gened_proto[None, :base],
+                jnp.broadcast_to(gened_proto[None, base:],
+                                 (refine.shape[0], refine.shape[1] - base,
+                                  refine.shape[2])),
+            ], axis=1)
+            x_pre = self.get_pred(point_feat, merged)
+            gp_coding = jnp.concatenate([base_coding, novel_coding], axis=0)
+            weight, gp_acc, gp_nacc = self.gp_weight(
+                gp_coding, gw_onehot, th=self.eval_weight, y=y)
+            return x_pre * weight, gp_acc, gp_nacc
+
+        return jax.vmap(head)(gened_protos, novel_codings)
+
     def evaluate(self, x: jax.Array, gp: jax.Array, gened_proto: jax.Array,
                  base_coding: jax.Array, novel_coding: jax.Array,
                  y: Optional[jax.Array] = None

@@ -133,6 +133,39 @@ def make_gfs_eval_step(model, num_classes: int,
     )
 
 
+def make_gfs_eval_multi_step(model, num_classes: int,
+                             mesh: Optional[Mesh] = None) -> Callable:
+    """Multi-seed GFS eval: S prototype sets share one feature sweep
+    (GWCAPL.evaluate_multi). Returns per-seed confusion matrices.
+
+    signature: (variables, points, labels, gp, gened_protos (S,cls,C),
+                base_coding, novel_codings (S,n_novel,K), valid) ->
+               (cm (S,C,C), gp_acc (S,), gp_novel_acc (S,))
+    """
+
+    def step(variables, points, labels, gp, gened_protos, base_coding,
+             novel_codings, valid):
+        logits, gp_acc, gp_nacc = model.apply(
+            variables, points, gp, gened_protos, base_coding, novel_codings,
+            labels, method="evaluate_multi")          # (S, B, N, cls)
+        pred = jnp.argmax(logits, axis=-1)            # (S, B, N)
+        row_ok = (jnp.arange(points.shape[0]) < valid)
+        mask = jnp.broadcast_to(row_ok[:, None], labels.shape)
+        cm = jax.vmap(lambda p: confusion_matrix(p, labels, num_classes,
+                                                 mask))(pred)
+        return cm, gp_acc, gp_nacc
+
+    data_s, rep_s = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(rep_s, data_s, data_s, rep_s, rep_s, rep_s, rep_s,
+                      rep_s),
+        out_shardings=(rep_s, rep_s, rep_s),
+    )
+
+
 def make_pretrain_step(model, mesh: Optional[Mesh] = None) -> Callable:
     """Supervised segmentation train step (reference pretrain pre_train.py:144-159).
 

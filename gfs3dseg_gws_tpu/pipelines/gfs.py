@@ -289,6 +289,45 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
     return mean_iou, base_iou, novel_iou, hm, iou_list
 
 
+def validate_multi(model, variables, gp, val_dataset, gened_protos,
+                   base_coding, novel_codings, all_learning_order,
+                   novel_class_names, num_classes: int, batch_size: int = 16,
+                   mesh=None, scannet: bool = False,
+                   logger: Optional[IOStream] = None):
+    """One static_test sweep evaluating S prototype sets simultaneously.
+    Returns a list of S (mean, base, novel, hm, iou_list) tuples."""
+    from gfs3dseg_gws_tpu.parallel.steps import make_gfs_eval_multi_step
+
+    eval_step = cached_step(make_gfs_eval_multi_step, model, num_classes,
+                            mesh)
+    n_seeds = gened_protos.shape[0]
+    cm = np.zeros((n_seeds, num_classes, num_classes), np.float64)
+    gp_acc_m, gp_nacc_m = AverageMeter(), AverageMeter()
+    args_rep = (gp, jnp.asarray(gened_protos), jnp.asarray(base_coding),
+                jnp.asarray(novel_codings))
+    if mesh is not None:
+        variables_d = replicate(variables, mesh)
+        args_rep = replicate(args_rep, mesh)
+    else:
+        variables_d = variables
+    for batch in batch_iterator(val_dataset, batch_size, shuffle=False,
+                                pad_final=True):
+        points, labels, valid = batch[0], batch[1], int(batch[-1])
+        if mesh is not None:
+            points = shard_batch(points, mesh)
+            labels = shard_batch(labels, mesh)
+        cm_b, acc, nacc = eval_step(variables_d, points, labels, *args_rep,
+                                    jnp.int32(valid))
+        cm += np.asarray(cm_b, np.float64)
+        gp_acc_m.update(float(np.mean(np.asarray(acc))))
+        gp_nacc_m.update(float(np.mean(np.asarray(nacc))))
+    if logger:
+        logger.cprint(f"---------- gp acc: {gp_acc_m.avg:.4f}, "
+                      f"gp_novel_acc: {gp_nacc_m.avg:.4f} ----------")
+    return [gfs_miou(cm[s], all_learning_order, novel_class_names,
+                     scannet=scannet) for s in range(n_seeds)]
+
+
 # --------------------------------------------------------------------------- #
 # drivers
 # --------------------------------------------------------------------------- #
@@ -335,17 +374,28 @@ def evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
 
     scannet = len(setup.all_learning_order) > 13
     main_proto = np.asarray(variables["params"]["main_proto"])
-    sums = np.zeros(4)
-    iou_lists = []
+
+    # register every support seed, then evaluate ALL prototype sets in one
+    # sweep — the features do not depend on the seed, so the reference's
+    # 5x re-run of the network (train.py:465-489) collapses into one pass
+    # with a vmapped head (GWCAPL.evaluate_multi)
+    geneds, novel_codings = [], []
     for supp in setup.supp_datasets:
         gened, novel_coding = register_novel_protos(
             setup.model, variables, setup.gp, supp, main_proto, n_base,
             setup.test_learning_order_idx, train_cfg.energy, mesh)
-        m = validate(setup.model, variables, setup.gp, setup.val_dataset,
-                     gened, base_coding, novel_coding,
-                     setup.all_learning_order, setup.test_class_names,
-                     len(setup.all_class_names), train_cfg.batch_size, mesh,
-                     scannet, logger)
+        geneds.append(gened)
+        novel_codings.append(novel_coding)
+
+    metrics = validate_multi(
+        setup.model, variables, setup.gp, setup.val_dataset,
+        np.stack(geneds), base_coding, np.stack(novel_codings),
+        setup.all_learning_order, setup.test_class_names,
+        len(setup.all_class_names), train_cfg.batch_size, mesh, scannet,
+        logger)
+    sums = np.zeros(4)
+    iou_lists = []
+    for m in metrics:
         sums += np.asarray(m[:4])
         iou_lists.append(m[4])
     sums /= len(setup.supp_datasets)
