@@ -191,8 +191,7 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
     counts = np.zeros((n_base,), np.float64)
     bg_sum = np.zeros((k,), np.float64)
     bg_blocks = 0.0
-    for batch in batch_iterator(dataset, batch_size, shuffle=False,
-                                pad_final=True, seed=seed):
+    for batch in _coding_batches(dataset, batch_size, seed):
         points, labels = batch[0], batch[1]
         valid = int(batch[-1])
         if valid < points.shape[0]:
@@ -215,6 +214,30 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
     coding = np.asarray(energy_multihot(jnp.asarray(means), energy))
     bg_coding = bg_sum / max(bg_blocks, 1.0)
     return coding.astype(np.float32), bg_coding.astype(np.float32)
+
+
+def _coding_batches(dataset, batch_size: int, seed: int):
+    """Ordered full-coverage batches (points, labels, segment, valid) for the
+    coding sweep; native pool when available (the sweep is host-IO-bound with
+    the Python loader), padded final batch either way."""
+    from gfs3dseg_gws_tpu.data import native_loader as nl
+
+    if not os.environ.get("GFS3D_NO_NATIVE") and nl.is_available():
+        pool = nl.NativeBatchPool(
+            dataset.data_path, dataset.block_names, dataset.classes,
+            dataset.num_point, batch_size,
+            label_mode=(nl.LABEL_ALL_CLASSES if dataset.use_all_classes
+                        else nl.LABEL_LEARNING_ORDER),
+            augment=False, seed=seed, shuffle=False)
+        try:
+            for pts, lbl, seg, valid in pool:
+                yield pts, lbl, seg, valid
+        finally:
+            pool.close()
+        return
+    for batch in batch_iterator(dataset, batch_size, shuffle=False,
+                                pad_final=True, seed=seed):
+        yield batch
 
 
 def register_novel_protos(model, variables, gp, supp_dataset,

@@ -42,9 +42,14 @@ def setup(tmp_path_factory):
     return model, variables, gp, ds, len(classes)
 
 
-def test_batched_codings_match_per_block_loop(setup):
+def test_batched_codings_match_per_block_loop(setup, monkeypatch):
     model, variables, gp, ds, n_base = setup
     energy = 0.9
+
+    # pin the Python loader path: the oracle below reproduces its exact
+    # per-sample RNG streams (the native loader draws different, equally
+    # valid samples)
+    monkeypatch.setenv("GFS3D_NO_NATIVE", "1")
 
     # framework path: batched accumulation
     coding, bg_coding = collect_base_codings(
