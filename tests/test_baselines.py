@@ -153,3 +153,25 @@ class TestEpisodicTraining:
                              max_iters=4, bank_episodes=1)
         assert np.isfinite(out["best_iou"])
         assert os.path.exists(os.path.join(fs_cfg.log_dir, "checkpoint.npz"))
+
+
+class TestEpisodicEval:
+    def test_protoeval_from_checkpoint(self, synth, tmp_path):
+        from gfs3dseg_gws_tpu.pipelines.baselines import (
+            FewShotLearner,
+            episodic_eval,
+        )
+
+        _, train_dir, _ = synth
+        model_cfg = ModelConfig(**TINY)
+        data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                              pc_npts=NPTS, k_shot=2)
+        fs_cfg = FewShotConfig(n_way=2, k_shot=2, n_episode_test=1,
+                               dist_method="cosine",
+                               log_dir=str(tmp_path / "pe"))
+        learner = FewShotLearner("proto", model_cfg, data_cfg, fs_cfg)
+        ckpt = str(tmp_path / "proto.npz")
+        learner.save(ckpt, {"iteration": 0})
+        miou = episodic_eval("proto", model_cfg, data_cfg, fs_cfg, ckpt,
+                             mode="test", bank_episodes=1)
+        assert np.isfinite(miou)
