@@ -16,10 +16,24 @@ import numpy as np
 from gfs3dseg_gws_tpu.data.registry import S3DIS_CLASSNAMES
 
 
+def _class_signature(cls: int, n_classes: int):
+    """Stable per-class attributes so synthetic datasets carry a LEARNABLE
+    cross-block signal: a fixed colour (deterministic per class) and a
+    class-dependent height band."""
+    rng = np.random.default_rng(1000 + cls)
+    color = rng.uniform(30, 225, size=3)
+    z_center = 0.3 + 2.2 * (cls / max(n_classes - 1, 1))
+    return color, z_center
+
+
 def make_synthetic_room(rng: np.random.Generator, n_points: int = 8000,
                         n_classes: int = 13,
                         present: Optional[Sequence[int]] = None) -> np.ndarray:
-    """One synthetic room: clustered class blobs, N x 7 (xyz rgb label)."""
+    """One synthetic room: clustered class blobs, N x 7 (xyz rgb label).
+
+    Classes have stable colour/height signatures (plus noise), so models can
+    genuinely generalise from train blocks to test blocks — learning-signal
+    tests would be vacuous on pure noise."""
     if present is None:
         n_present = rng.integers(3, min(8, n_classes) + 1)
         present = rng.choice(n_classes, n_present, replace=False)
@@ -28,13 +42,18 @@ def make_synthetic_room(rng: np.random.Generator, n_points: int = 8000,
         n_points, np.ones(len(present)) / len(present)), 150)
     rows = []
     for cls, cnt in zip(present, pts_per):
-        center = rng.uniform(0, 4, size=3) * np.array([1, 1, 0.6])
-        xyz = center + 0.35 * rng.standard_normal((cnt, 3))
-        rgb = rng.uniform(0, 255, size=(cnt, 3))
+        color, z_center = _class_signature(int(cls), n_classes)
+        center_xy = rng.uniform(0, 4, size=2)
+        xyz = np.stack([
+            center_xy[0] + 0.35 * rng.standard_normal(cnt),
+            center_xy[1] + 0.35 * rng.standard_normal(cnt),
+            z_center + 0.15 * rng.standard_normal(cnt),
+        ], axis=1)
+        rgb = np.clip(color + 20.0 * rng.standard_normal((cnt, 3)), 0, 255)
         lbl = np.full((cnt, 1), cls, dtype=np.float64)
         rows.append(np.concatenate([xyz, rgb, lbl], axis=1))
     room = np.concatenate(rows, axis=0)
-    room[:, :3] -= room[:, :3].min(axis=0)
+    room[:, :2] -= room[:, :2].min(axis=0)
     return room
 
 

@@ -43,14 +43,21 @@ def test_gfs_training_learns(synth, tmp_path):
     train_cfg = TrainConfig(batch_size=8, epochs=12, eval_interval=6,
                             coding_interval=6, basis_path=basis_path,
                             save_path=str(tmp_path / "gfs"), print_freq=1000,
-                            base_lr=0.005)
+                            base_lr=0.02)
     out = train_gfs(model_cfg, data_cfg, train_cfg, mesh=None)
     assert len(out["history"]) == 2
     # mean mIoU at the later evaluation should beat the early one or at
     # least be clearly above random (1/13 ~ 0.077 accuracy-equivalent)
     final = out["history"][-1]
     assert np.isfinite(final["mean_iou"])
-    assert final["mean_iou"] > 0.02, out["history"]
+    # classes carry stable colour/height signatures, so the mechanism must
+    # demonstrably learn even at this tiny CI scale (8-wide convs, 128 pts,
+    # 12 epochs reach ~0.06 mean / ~0.038 base / ~0.085 novel; a full-size
+    # 30-epoch TPU run reaches ~0.65 mean). Thresholds sit well below the
+    # deterministic seeded values but far above the untrained ~0.01.
+    assert final["mean_iou"] > 0.045, out["history"]
+    assert final["base_iou"] > 0.015, out["history"]
+    assert final["novel_iou"] > 0.04, out["history"]
 
 
 @pytest.mark.slow
