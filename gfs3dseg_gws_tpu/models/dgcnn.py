@@ -31,6 +31,10 @@ from gfs3dseg_gws_tpu.models.layers import (
 )
 from gfs3dseg_gws_tpu.ops.edgeconv import gather_neighbors
 from gfs3dseg_gws_tpu.ops.fused_edgeconv import fused_edgeconv_infer
+from gfs3dseg_gws_tpu.ops.fused_edgeconv_train import (
+    fused_edgeconv_train,
+    supported as fused_train_supported,
+)
 from gfs3dseg_gws_tpu.ops.knn import knn_indices
 
 
@@ -90,9 +94,9 @@ class EdgeConvBlock(nn.Module):
         ]
 
         wd, wc = kernel[:c], kernel[c:]
-        use_fused = (not train and self.use_pallas and len(self.widths) == 2
-                     and jax.default_backend() == "tpu")
-        if use_fused:
+        on_tpu = (self.use_pallas and len(self.widths) == 2
+                  and jax.default_backend() == "tpu")
+        if on_tpu and not train:
             s1, t1 = bn1.affine()
             a_table = (x @ wd) * s1
             b_table = (x @ (wc - wd)) * s1 + t1
@@ -102,6 +106,16 @@ class EdgeConvBlock(nn.Module):
 
         idx = knn_indices(jax.lax.stop_gradient(x), self.k,
                           use_pallas=self.use_pallas)        # (B, N, K)
+        if (on_tpu and train and not self.is_initializing()
+                and fused_train_supported(n, self.k)):
+            bn2 = layers[0].bn
+            out, mu1, var1, mu2, var2 = fused_edgeconv_train(
+                x @ wd, x @ (wc - wd), bn1.scale, bn1.bias,
+                layers[0].conv.kernel, bn2.scale, bn2.bias, idx,
+                neg_slope=LEAKY_SLOPE)
+            bn1.record_batch_stats(mu1, var1)
+            bn2.record_batch_stats(mu2, var2)
+            return out
         h_nbr = x @ wd                                       # (B, N, w0)
         h_cen = x @ (wc - wd)                                # (B, N, w0)
         h = gather_neighbors(h_nbr, idx) + h_cen[:, :, None, :]  # (B,N,K,w0)

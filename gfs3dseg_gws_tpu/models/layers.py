@@ -77,6 +77,17 @@ class ManualBN(nn.Module):
         s = self.scale * jax.lax.rsqrt(self.ra_var.value + self.epsilon)
         return s, self.bias - self.ra_mean.value * s
 
+    def record_batch_stats(self, mean: jax.Array, var: jax.Array) -> None:
+        """Fold externally-computed batch stats into the running averages —
+        the train-mode side effect of __call__ for callers (the fused
+        training EdgeConv kernel) that normalise out-of-module."""
+        if not self.is_initializing():
+            m = self.momentum
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            self.ra_mean.value = m * self.ra_mean.value + (1 - m) * mean
+            self.ra_var.value = m * self.ra_var.value + (1 - m) * var
+
 
 class Conv1x1(nn.Module):
     """Dense with setup()-declared params (names match nn.Dense) so the
