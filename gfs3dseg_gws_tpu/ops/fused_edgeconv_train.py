@@ -11,22 +11,32 @@ train-mode BatchNorm) is, per block:
 The unfused path materialises the (B, N, K, C) tensor ~4x forward and again
 backward — pure HBM traffic. This module never materialises it. BatchNorm
 batch statistics need TWO global reductions (bn2's input depends on bn1's
-stats), so the forward is two passes and the backward two more:
+stats), so the op is three Pallas passes wrapped in one `custom_vjp`:
 
-  fwd S1  stats of e0 in closed form: only a neighbour-SUM is needed
-          (sum_k a[idx]), so E[e0] and E[e0^2] come from per-point tensors.
-  fwd SF  one Pallas pass: per k-round one-hot MXU gather -> h1 ->
-          z1 = h1 @ W2, accumulating   sum(h1), h1^T h1 (for bn2 stats via
-          E[(h1 W2)^2] = diag(W2^T E[h1 h1^T] W2)),  and  max_k/min_k z1
-          with arg slots. Because bn2+leaky is monotone per channel (sign
-          of gamma2*inv2 decides max vs min), the block output is an XLA
-          epilogue on (B, N, W1) — no third edge pass.
-  bwd B1  recompute rounds; accumulate dW2 = sum h1^T dz1 and the bn1
-          backward reductions sum(dy1), sum(dy1*yhat1). dz1's sparse term
-          routes the output cotangent to the arg-selected slot only; its
-          dense terms are the batch-stat couplings.
-  bwd B2  recompute rounds; de0 -> da via one-hot^T MXU scatter, db by
-          summing rounds.
+  fwd S1  stats of e0: because e0 = a_j + b_i separates, E[e0] and E[e0^2]
+          need only the neighbour-sums sum_k a[idx] and sum_k a^2[idx] —
+          ONE multi-hot MXU matmul (the count matrix row for a query is the
+          sum of its k one-hots) against the 2C-wide table [a | a*a].
+  fwd SF  per k-round one-hot gather -> h1 -> z1 = h1 @ W2, accumulating
+          sum(h1), h1^T h1 (bn2 stats via E[(h1 W2)^2] = diag(W2^T E[h1h1^T]
+          W2)) and running max_k/min_k z1 with arg slots. bn2+leaky is
+          monotone per channel (the sign of gamma2*inv2 picks max vs min),
+          so the block output is an XLA epilogue on (B, N, W1).
+  bwd B   ONE pass: recompute rounds, accumulate dW2 = sum h1^T dz1, the
+          bn1-backward reductions sum(dy1) / sum(dy1*yhat1), the per-point
+          sum_k(G1*dy1), the in-degree counts, and the MXU scatter
+          onehot^T @ [G1*dy1 | yhat1] (2C-wide = one 128-lane matmul).
+          da/db then assemble in XLA from closed-form batch-stat
+          corrections:
+            da_j = S_j − (G1 D1)·cnt_j − (G1 D2)·Y_j
+            db_i = P_i − K·(G1 D1) − (G1 D2)·inv1·(s_i + K b_i − K mu1)
+          with D1 = E[dy1], D2 = E[dy1 yhat1], S/Y the scatter halves,
+          P the per-point sum, s the forward neighbour-sum.
+
+MXU efficiency: a single 20-round loop of (TQ, N)x(N, 64) matmuls runs at
+~35% of bf16 peak (narrow output). All passes therefore STACK `stack`
+rounds into one deep matmul — one (G*TQ, N)x(N, C) gather and one
+(N, G*TQ)x(G*TQ, 2C) scatter per chunk.
 
 Gradients THROUGH the batch statistics are exact (standard BN backward);
 deviations from the unfused XLA path are the documented kernel numerics:
@@ -54,29 +64,85 @@ def _pick_unroll(k: int, unroll: int) -> int:
     return 1
 
 
-def supported(n: int, k: int, tile_q: int = 512) -> bool:
+def supported(n: int, k: int, tile_q: int = 256) -> bool:
     """Whether the Pallas path handles this (N, K) without falling back."""
     return n % min(tile_q, n) == 0
 
 
 # ---------------------------------------------------------------------------
-# shared per-round recompute
+# shared in-kernel helpers
 # ---------------------------------------------------------------------------
 
 
-def _round_state(kk, idxt, a_all, b_tile, s1, t1, *, n, slope, dt):
-    """One neighbour slot: one-hot gather -> e0 -> pre1 -> h1."""
+def _idx_row(idxt, kk):
+    """Row kk of the (K, TQ) index block (sublane dim is not dynamically
+    indexable -> masked reduce)."""
     kdim, tq = idxt.shape
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (kdim, tq), 0)
-    idx_row = jnp.sum(jnp.where(iota_k == kk, idxt, 0), axis=0)   # (TQ,)
+    return jnp.sum(jnp.where(iota_k == kk, idxt, 0), axis=0)      # (TQ,)
+
+
+def _stacked_onehot(idxt, base, g, n, dt):
+    """One-hot rows for rounds base..base+g stacked to (g*TQ, N)."""
+    _, tq = idxt.shape
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
-    onehot = (iota_n == idx_row[:, None])
-    nbr = jnp.dot(onehot.astype(dt), a_all,
-                  preferred_element_type=jnp.float32)             # (TQ, C)
-    e0 = nbr + b_tile
-    pre1 = e0 * s1 + t1
-    h1 = jnp.where(pre1 >= 0, pre1, slope * pre1)
-    return onehot, e0, pre1, h1
+    parts = []
+    for u in range(g):
+        row = _idx_row(idxt, base + u)
+        parts.append((iota_n == row[:, None]).astype(dt))
+    return jnp.concatenate(parts, axis=0) if g > 1 else parts[0]
+
+
+def _stack_rows(x, g):
+    """Tile a (TQ, C) tensor to (g*TQ, C) (per-round broadcast)."""
+    return jnp.concatenate([x] * g, axis=0) if g > 1 else x
+
+
+# ---------------------------------------------------------------------------
+# forward pass S1: multi-hot neighbour-sum for the e0 batch stats
+# ---------------------------------------------------------------------------
+
+
+def _gs_kernel(tbl_ref, idxt_ref, out_ref, *, k: int, n: int, dt):
+    idxt = idxt_ref[0]                                            # (K, TQ)
+    tq = idxt.shape[1]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+    multihot = jnp.zeros((tq, n), jnp.float32)
+    for kk in range(k):
+        row = _idx_row(idxt, kk)
+        multihot = multihot + (iota_n == row[:, None]).astype(jnp.float32)
+    # counts <= K are exact in bf16
+    out_ref[0] = jnp.dot(multihot.astype(dt), tbl_ref[0].astype(dt),
+                         preferred_element_type=jnp.float32)
+
+
+def _gs_pallas(tbl, idxt, k, tile_q, dt):
+    bsz, n, c2 = tbl.shape
+    kern = functools.partial(_gs_kernel, k=k, n=n, dt=dt)
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, n // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, n, c2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, idxt.shape[1], tile_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, c2), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tbl, idxt)
+
+
+def _gather_sum_xla(tbl, idx):
+    """sum_k tbl[idx[:, :, k]] — CPU/fallback path."""
+    bsz, n, c = tbl.shape
+    off = (jnp.arange(bsz, dtype=idx.dtype) * n)[:, None, None]
+    flat = (idx + off).reshape(-1)
+    g = jnp.take(tbl.reshape(bsz * n, c), flat, axis=0)
+    return g.reshape(bsz, n, -1, c).sum(axis=2)
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +152,7 @@ def _round_state(kk, idxt, a_all, b_tile, s1, t1, *, n, slope, dt):
 
 def _sf_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref,
                zmax_ref, zmin_ref, kmax_ref, kmin_ref, sumh1_ref, gram_ref,
-               *, k: int, n: int, unroll: int, slope: float, dt):
+               *, k: int, n: int, stack: int, slope: float, dt):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -95,47 +161,47 @@ def _sf_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref,
         sumh1_ref[:] = jnp.zeros_like(sumh1_ref[:])
         gram_ref[:] = jnp.zeros_like(gram_ref[:])
 
-    a_all = a_ref[0].astype(dt)                         # (N, C)
+    a_all = a_ref[0].astype(dt)                                   # (N, C)
     b_tile = b_ref[0].astype(jnp.float32)                         # (TQ, C)
     idxt = idxt_ref[0]                                            # (K, TQ)
     s1 = p1_ref[0:1, :]
     t1 = p1_ref[1:2, :]
     w2 = w2_ref[:].astype(dt)
+    tq = b_tile.shape[0]
+    b_stack = _stack_rows(b_tile, stack)
 
     zmax_ref[0] = jnp.full_like(zmax_ref[0], -jnp.inf)
     zmin_ref[0] = jnp.full_like(zmin_ref[0], jnp.inf)
     kmax_ref[0] = jnp.zeros_like(kmax_ref[0])
     kmin_ref[0] = jnp.zeros_like(kmin_ref[0])
 
-    def body(c, _):
-        for u in range(unroll):
-            kk = c * unroll + u
-            _, _, _, h1 = _round_state(kk, idxt, a_all, b_tile, s1, t1,
-                                       n=n, slope=slope, dt=dt)
-            h1b = h1.astype(dt)
-            z1 = jnp.dot(h1b, w2, preferred_element_type=jnp.float32)
-            sumh1_ref[:] = sumh1_ref[:] + jnp.sum(h1, axis=0,
-                                                  keepdims=True)
-            gram_ref[:] = gram_ref[:] + jax.lax.dot_general(
-                h1b, h1b, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            up = z1 > zmax_ref[0]
-            zmax_ref[0] = jnp.where(up, z1, zmax_ref[0])
-            kmax_ref[0] = jnp.where(up, kk, kmax_ref[0])
-            dn = z1 < zmin_ref[0]
-            zmin_ref[0] = jnp.where(dn, z1, zmin_ref[0])
-            kmin_ref[0] = jnp.where(dn, kk, kmin_ref[0])
-        return 0
-
-    jax.lax.fori_loop(0, k // unroll, body, 0)
+    for base in range(0, k, stack):
+        oh = _stacked_onehot(idxt, base, stack, n, dt)            # (G*TQ, N)
+        nbr = jnp.dot(oh, a_all, preferred_element_type=jnp.float32)
+        pre1 = (nbr + b_stack) * s1 + t1
+        h1 = jnp.where(pre1 >= 0, pre1, slope * pre1)
+        h1b = h1.astype(dt)
+        z1 = jnp.dot(h1b, w2, preferred_element_type=jnp.float32)
+        sumh1_ref[:] = sumh1_ref[:] + jnp.sum(h1, axis=0, keepdims=True)
+        gram_ref[:] = gram_ref[:] + jax.lax.dot_general(
+            h1b, h1b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for u in range(stack):
+            z1u = jax.lax.slice_in_dim(z1, u * tq, (u + 1) * tq, axis=0)
+            up = z1u > zmax_ref[0]
+            zmax_ref[0] = jnp.where(up, z1u, zmax_ref[0])
+            kmax_ref[0] = jnp.where(up, base + u, kmax_ref[0])
+            dn = z1u < zmin_ref[0]
+            zmin_ref[0] = jnp.where(dn, z1u, zmin_ref[0])
+            kmin_ref[0] = jnp.where(dn, base + u, kmin_ref[0])
 
 
-def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, unroll, dt):
+def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, stack, dt):
     bsz, n, c = a.shape
     w1 = w2.shape[1]
     p1 = jnp.stack([s1, t1])                                      # (2, C)
-    kern = functools.partial(_sf_kernel, k=k, n=n, unroll=unroll,
-                             slope=slope, dt=dt)
+    kern = functools.partial(_sf_kernel, k=k, n=n, stack=stack, slope=slope,
+                             dt=dt)
     grid = (bsz, n // tile_q)
     out_shapes = (
         jax.ShapeDtypeStruct((bsz, n, w1), jnp.float32),          # zmax
@@ -145,8 +211,11 @@ def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, unroll, dt):
         jax.ShapeDtypeStruct((1, c), jnp.float32),                # sum h1
         jax.ShapeDtypeStruct((c, c), jnp.float32),                # h1^T h1
     )
-    tile_spec = pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM)
+
+    def tile_spec(dtype=None):
+        return pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -162,11 +231,7 @@ def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, unroll, dt):
             pl.BlockSpec((c, w1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(tile_spec, tile_spec,
-                   pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
-                                memory_space=pltpu.VMEM),
+        out_specs=(tile_spec(), tile_spec(), tile_spec(), tile_spec(),
                    pl.BlockSpec((1, c), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((c, c), lambda i, j: (0, 0),
@@ -178,21 +243,13 @@ def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, unroll, dt):
 
 
 # ---------------------------------------------------------------------------
-# backward pass B1: dW2 + bn1 backward reductions
+# merged backward pass
 # ---------------------------------------------------------------------------
 
 
-def _dz1_round(kk, z1, gsel, ksel, pk):
-    """Batch-stat BN2 backward at one slot: sparse arg-slot term + the two
-    dense stat-coupling terms (pk rows: G2, C1, C2, mu2, inv2)."""
-    y2hat = (z1 - pk[3:4, :]) * pk[4:5, :]
-    dy2 = jnp.where(ksel == kk, gsel, 0.0)
-    return pk[0:1, :] * (dy2 - pk[1:2, :] - y2hat * pk[2:3, :])
-
-
-def _b1_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
-               pk_ref, dw2_ref, sums_ref,
-               *, k: int, n: int, unroll: int, slope: float, dt):
+def _bwd_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
+                pk_ref, scat_ref, psum_ref, cnt_ref, dw2_ref, sums_ref,
+                *, k: int, n: int, stack: int, slope: float, dt):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -201,57 +258,10 @@ def _b1_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
         dw2_ref[:] = jnp.zeros_like(dw2_ref[:])
         sums_ref[:] = jnp.zeros_like(sums_ref[:])
 
-    a_all = a_ref[0].astype(dt)
-    b_tile = b_ref[0].astype(jnp.float32)
-    idxt = idxt_ref[0]
-    s1 = p1_ref[0:1, :]
-    t1 = p1_ref[1:2, :]
-    mu1 = p1_ref[2:3, :]
-    inv1 = p1_ref[3:4, :]
-    w2 = w2_ref[:].astype(dt)
-    gsel = gsel_ref[0]
-    ksel = ksel_ref[0]
-    pk = pk_ref[:]
-
-    def body(c, _):
-        for u in range(unroll):
-            kk = c * unroll + u
-            _, e0, pre1, h1 = _round_state(kk, idxt, a_all, b_tile, s1, t1,
-                                           n=n, slope=slope, dt=dt)
-            h1b = h1.astype(dt)
-            z1 = jnp.dot(h1b, w2, preferred_element_type=jnp.float32)
-            dz1 = _dz1_round(kk, z1, gsel, ksel, pk)
-            dz1b = dz1.astype(dt)
-            dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
-                h1b, dz1b, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dh1 = jax.lax.dot_general(
-                dz1b, w2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dy1 = dh1 * jnp.where(pre1 >= 0, 1.0, slope)
-            y1hat = (e0 - mu1) * inv1
-            sums_ref[0:1, :] = sums_ref[0:1, :] + jnp.sum(
-                dy1, axis=0, keepdims=True)
-            sums_ref[1:2, :] = sums_ref[1:2, :] + jnp.sum(
-                dy1 * y1hat, axis=0, keepdims=True)
-        return 0
-
-    jax.lax.fori_loop(0, k // unroll, body, 0)
-
-
-# ---------------------------------------------------------------------------
-# backward pass B2: de0 -> (da, db)
-# ---------------------------------------------------------------------------
-
-
-def _b2_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
-               pk_ref, pd_ref, da_ref, db_ref,
-               *, k: int, n: int, unroll: int, slope: float, dt):
-    j = pl.program_id(1)
-
     @pl.when(j == 0)
     def _():
-        da_ref[0] = jnp.zeros_like(da_ref[0])
+        scat_ref[0] = jnp.zeros_like(scat_ref[0])
+        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
 
     a_all = a_ref[0].astype(dt)
     b_tile = b_ref[0].astype(jnp.float32)
@@ -260,106 +270,107 @@ def _b2_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
     t1 = p1_ref[1:2, :]
     mu1 = p1_ref[2:3, :]
     inv1 = p1_ref[3:4, :]
+    g1s = p1_ref[4:5, :]                                          # gamma1*inv1
     w2 = w2_ref[:].astype(dt)
-    gsel = gsel_ref[0]
+    gsel = gsel_ref[0]                                            # (TQ, W1)
     ksel = ksel_ref[0]
     pk = pk_ref[:]
-    g1s = pd_ref[0:1, :]                                          # gamma1*inv1
-    d1 = pd_ref[1:2, :]
-    d2 = pd_ref[2:3, :]
+    tq = b_tile.shape[0]
+    c = b_tile.shape[1]
+    b_stack = _stack_rows(b_tile, stack)
 
-    db_ref[0] = jnp.zeros_like(db_ref[0])
+    psum_ref[0] = jnp.zeros_like(psum_ref[0])
 
-    def body(c, _):
-        for u in range(unroll):
-            kk = c * unroll + u
-            onehot, e0, pre1, h1 = _round_state(
-                kk, idxt, a_all, b_tile, s1, t1, n=n, slope=slope, dt=dt)
-            h1b = h1.astype(dt)
-            z1 = jnp.dot(h1b, w2, preferred_element_type=jnp.float32)
-            dz1 = _dz1_round(kk, z1, gsel, ksel, pk)
-            dh1 = jax.lax.dot_general(
-                dz1.astype(dt), w2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dy1 = dh1 * jnp.where(pre1 >= 0, 1.0, slope)
-            y1hat = (e0 - mu1) * inv1
-            de0 = g1s * (dy1 - d1 - y1hat * d2)
-            da_ref[0] = da_ref[0] + jax.lax.dot_general(
-                onehot.astype(dt), de0.astype(dt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)               # (N, C)
-            db_ref[0] = db_ref[0] + de0
-        return 0
+    for base in range(0, k, stack):
+        oh = _stacked_onehot(idxt, base, stack, n, dt)            # (G*TQ, N)
+        nbr = jnp.dot(oh, a_all, preferred_element_type=jnp.float32)
+        e0 = nbr + b_stack
+        pre1 = e0 * s1 + t1
+        h1 = jnp.where(pre1 >= 0, pre1, slope * pre1)
+        h1b = h1.astype(dt)
+        z1 = jnp.dot(h1b, w2, preferred_element_type=jnp.float32)
+        y2hat = (z1 - pk[3:4, :]) * pk[4:5, :]
+        dy2 = jnp.concatenate(
+            [jnp.where(ksel == base + u, gsel, 0.0) for u in range(stack)],
+            axis=0) if stack > 1 else jnp.where(ksel == base, gsel, 0.0)
+        dz1 = pk[0:1, :] * (dy2 - pk[1:2, :] - y2hat * pk[2:3, :])
+        dz1b = dz1.astype(dt)
+        dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
+            h1b, dz1b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh1 = jax.lax.dot_general(
+            dz1b, w2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dy1 = dh1 * jnp.where(pre1 >= 0, 1.0, slope)
+        y1hat = (e0 - mu1) * inv1
+        sums_ref[0:1, :] = sums_ref[0:1, :] + jnp.sum(dy1, axis=0,
+                                                      keepdims=True)
+        sums_ref[1:2, :] = sums_ref[1:2, :] + jnp.sum(dy1 * y1hat, axis=0,
+                                                      keepdims=True)
+        gdy1 = g1s * dy1
+        tbl = jnp.concatenate([gdy1, y1hat], axis=1)              # (G*TQ, 2C)
+        scat_ref[0] = scat_ref[0] + jax.lax.dot_general(
+            oh, tbl.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # (N, 2C)
+        cnt_ref[0] = cnt_ref[0] + jnp.sum(oh.astype(jnp.float32), axis=0,
+                                          keepdims=True)
+        for u in range(stack):
+            psum_ref[0] = psum_ref[0] + jax.lax.slice_in_dim(
+                gdy1, u * tq, (u + 1) * tq, axis=0)
 
-    jax.lax.fori_loop(0, k // unroll, body, 0)
 
-
-def _bwd_pallas(which, a, b, idxt, p1, w2, gsel, ksel, pk, pd,
-                k, tile_q, slope, unroll, dt):
+def _bwd_pallas(a, b, idxt, p1, w2, gsel, ksel, pk, k, tile_q, slope,
+                stack, dt):
     bsz, n, c = a.shape
     w1 = w2.shape[1]
     grid = (bsz, n // tile_q)
-    common_in = [
-        pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, k, tile_q), lambda i, j: (i, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c, w1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((5, w1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    if which == "b1":
-        kern = functools.partial(_b1_kernel, k=k, n=n, unroll=unroll,
-                                 slope=slope, dt=dt)
-        return pl.pallas_call(
-            kern, grid=grid, in_specs=common_in,
-            out_specs=(
-                pl.BlockSpec((c, w1), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, c), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((c, w1), jnp.float32),
-                       jax.ShapeDtypeStruct((2, c), jnp.float32)),
-            compiler_params=params,
-        )(a, b, idxt, p1, w2, gsel, ksel, pk)
-    kern = functools.partial(_b2_kernel, k=k, n=n, unroll=unroll,
-                             slope=slope, dt=dt)
+    kern = functools.partial(_bwd_kernel, k=k, n=n, stack=stack, slope=slope,
+                             dt=dt)
     return pl.pallas_call(
         kern, grid=grid,
-        in_specs=common_in + [
-            pl.BlockSpec((3, c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=(
+        in_specs=[
             pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tile_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, w1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, 2 * c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((bsz, n, c), jnp.float32),
-                   jax.ShapeDtypeStruct((bsz, n, c), jnp.float32)),
-        compiler_params=params,
-    )(a, b, idxt, p1, w2, gsel, ksel, pk, pd)
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, n, 2 * c), jnp.float32),   # scat
+            jax.ShapeDtypeStruct((bsz, n, c), jnp.float32),       # psum
+            jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),       # cnt
+            jax.ShapeDtypeStruct((c, w1), jnp.float32),           # dW2
+            jax.ShapeDtypeStruct((2, c), jnp.float32)),           # bn1 sums
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(a, b, idxt, p1, w2, gsel, ksel, pk)
 
 
 # ---------------------------------------------------------------------------
 # the custom-VJP op
 # ---------------------------------------------------------------------------
-
-
-def _gather_sum(tbl, idx):
-    """sum_k tbl[idx[:, :, k]] without keeping the (B, N, K, C) tensor
-    (XLA fuses the gather into the reduction)."""
-    bsz, n, c = tbl.shape
-    off = (jnp.arange(bsz, dtype=idx.dtype) * n)[:, None, None]
-    flat = (idx + off).reshape(-1)
-    g = jnp.take(tbl.reshape(bsz * n, c), flat, axis=0)
-    return g.reshape(bsz, n, -1, c).sum(axis=2)
 
 
 def _affines(gamma, beta, mu, var):
@@ -368,15 +379,17 @@ def _affines(gamma, beta, mu, var):
     return s, beta - mu * s, inv
 
 
-def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, unroll,
+def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, stack,
               dt):
     bsz, n, c = a.shape
     k = idx.shape[-1]
     e = bsz * n * k
     tile_q = min(tile_q, n)
-    unroll = k if n >= 2048 else _pick_unroll(k, unroll)
+    stack = _pick_unroll(k, stack)
+    idxt = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)        # (B, K, N)
 
-    gs = _gather_sum(jnp.concatenate([a, a * a], axis=-1), idx)
+    gs = _gs_pallas(jnp.concatenate([a, a * a], axis=-1), idxt, k, tile_q,
+                    dt)
     s_nbr, s2_nbr = gs[..., :c], gs[..., c:]
     sum_e0 = s_nbr.sum((0, 1)) + k * b.sum((0, 1))
     sum_e02 = (s2_nbr.sum((0, 1)) + 2.0 * (b * s_nbr).sum((0, 1))
@@ -385,9 +398,8 @@ def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, unroll,
     var1 = jnp.maximum(sum_e02 / e - mu1 * mu1, 0.0)
     s1, t1, inv1 = _affines(g1, be1, mu1, var1)
 
-    idxt = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)        # (B, K, N)
     zmax, zmin, kmax, kmin, sumh1, gram = _sf_pallas(
-        a, b, idxt, s1, t1, w2, k, tile_q, neg_slope, unroll, dt)
+        a, b, idxt, s1, t1, w2, k, tile_q, neg_slope, stack, dt)
     mu2 = (sumh1[0] / e) @ w2
     ez2 = jnp.einsum("cd,ce,ed->d", w2, gram / e, w2)
     var2 = jnp.maximum(ez2 - mu2 * mu2, 0.0)
@@ -399,12 +411,12 @@ def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, unroll,
     pre2 = z1sel * s2a + t2
     out = jnp.where(pre2 >= 0, pre2, neg_slope * pre2)
     return out, mu1, var1, mu2, var2, (a, b, idxt, w2, g1, g2, mu1, var1,
-                                       mu2, var2, z1sel, ksel, out)
+                                       mu2, var2, z1sel, ksel, out, s_nbr)
 
 
 def fused_edgeconv_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx, *,
-                         neg_slope: float = 0.2, tile_q: int = 512,
-                         unroll: int = 5, mxu_dtype=jnp.bfloat16):
+                         neg_slope: float = 0.2, tile_q: int = 256,
+                         stack: int = 5, mxu_dtype=jnp.bfloat16):
     """Fused train-mode EdgeConv block.
 
     Args:
@@ -417,39 +429,40 @@ def fused_edgeconv_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx, *,
       running-average updates only; their cotangents are ignored.
     """
     return _fused_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx,
-                        neg_slope, tile_q, unroll, mxu_dtype)
+                        neg_slope, tile_q, stack, mxu_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _fused_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx,
-                 neg_slope, tile_q, unroll, dt):
+                 neg_slope, tile_q, stack, dt):
     out, mu1, var1, mu2, var2, _ = _fwd_impl(
         a, b, gamma1, beta1, w2, gamma2, beta2, idx, neg_slope, tile_q,
-        unroll, dt)
+        stack, dt)
     return out, mu1, var1, mu2, var2
 
 
 def _vjp_fwd(a, b, gamma1, beta1, w2, gamma2, beta2, idx,
-             neg_slope, tile_q, unroll, dt):
+             neg_slope, tile_q, stack, dt):
     out, mu1, var1, mu2, var2, res = _fwd_impl(
         a, b, gamma1, beta1, w2, gamma2, beta2, idx, neg_slope, tile_q,
-        unroll, dt)
+        stack, dt)
     return (out, mu1, var1, mu2, var2), res + (beta1,)
 
 
-def _vjp_bwd(neg_slope, tile_q, unroll, dt, res, cts):
-    (a, b, idxt, w2, g1, g2, mu1, var1, mu2, var2, z1sel, ksel, out,
+def _vjp_bwd(neg_slope, tile_q, stack, dt, res, cts):
+    (a, b, idxt, w2, g1, g2, mu1, var1, mu2, var2, z1sel, ksel, out, s_nbr,
      beta1) = res
     gout = cts[0]  # stat cotangents (running-average side channel) ignored
     bsz, n, c = a.shape
     k = idxt.shape[1]
     e = bsz * n * k
     tq = min(tile_q, n)
-    ur = k if n >= 2048 else _pick_unroll(k, unroll)
+    stack = _pick_unroll(k, stack)
 
     s1, t1, inv1 = _affines(g1, beta1, mu1, var1)
     inv2 = jax.lax.rsqrt(var2 + _EPS)
     g2s = g2 * inv2
+    g1s = g1 * inv1
 
     gsel = gout * jnp.where(out >= 0, 1.0, neg_slope)
     y2hat_sel = (z1sel - mu2) * inv2
@@ -458,15 +471,20 @@ def _vjp_bwd(neg_slope, tile_q, unroll, dt, res, cts):
     dbeta2 = c1 * e
     dgamma2 = c2 * e
 
-    p1 = jnp.stack([s1, t1, mu1, inv1])                           # (4, C)
+    p1 = jnp.stack([s1, t1, mu1, inv1, g1s])                      # (5, C)
     pk = jnp.stack([g2s, c1, c2, mu2, inv2])                      # (5, W1)
-    dw2, sums = _bwd_pallas("b1", a, b, idxt, p1, w2, gsel, ksel, pk, None,
-                            k, tq, neg_slope, ur, dt)
+    scat, psum, cnt, dw2, sums = _bwd_pallas(
+        a, b, idxt, p1, w2, gsel, ksel, pk, k, tq, neg_slope, stack, dt)
     dbeta1 = sums[0]
     dgamma1 = sums[1]
-    pd = jnp.stack([g1 * inv1, sums[0] / e, sums[1] / e])         # (3, C)
-    da, db = _bwd_pallas("b2", a, b, idxt, p1, w2, gsel, ksel, pk, pd,
-                         k, tq, neg_slope, ur, dt)
+    d1 = sums[0] / e
+    d2 = sums[1] / e
+    gd1 = g1s * d1
+    gd2 = g1s * d2
+    da = (scat[..., :c] - gd1 * cnt[:, 0, :, None]
+          - gd2 * scat[..., c:])
+    db = (psum - k * gd1
+          - gd2 * ((s_nbr + k * b - k * mu1) * inv1))
     return (da.astype(a.dtype), db.astype(b.dtype), dgamma1, dbeta1, dw2,
             dgamma2, dbeta2, None)
 
