@@ -25,12 +25,21 @@ class SelfAttention(nn.Module):
         v = nn.Dense(self.out_channels, use_bias=False, name="v_map")(x)
 
         temperature = float(self.out_channels) ** 0.5
-        if (not train and self.use_pallas
-                and jax.default_backend() == "tpu"):
+        on_tpu = self.use_pallas and jax.default_backend() == "tpu"
+        if not train and on_tpu:
             # fused kernel: the (B, N, N) weight matrix stays in VMEM
             from gfs3dseg_gws_tpu.ops.attention_kernel import fused_attention
 
             return fused_attention(q, k, v, temperature).astype(x.dtype)
+        if train and on_tpu and not self.is_initializing():
+            # fused train kernel with in-kernel dropout PRNG (its Bernoulli
+            # stream differs from nn.Dropout's — documented deviation)
+            from gfs3dseg_gws_tpu.ops.attention_train import attention_train
+
+            seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                      2 ** 31 - 1, dtype=jnp.int32)
+            return attention_train(q, k, v, seed, temperature=temperature,
+                                   rate=self.attn_dropout).astype(x.dtype)
 
         attn = jnp.einsum("bmc,bnc->bmn", q / temperature, k,
                           preferred_element_type=jnp.float32)
