@@ -136,15 +136,6 @@ def _gs_pallas(tbl, idxt, k, tile_q, dt):
     )(tbl, idxt)
 
 
-def _gather_sum_xla(tbl, idx):
-    """sum_k tbl[idx[:, :, k]] — CPU/fallback path."""
-    bsz, n, c = tbl.shape
-    off = (jnp.arange(bsz, dtype=idx.dtype) * n)[:, None, None]
-    flat = (idx + off).reshape(-1)
-    g = jnp.take(tbl.reshape(bsz * n, c), flat, axis=0)
-    return g.reshape(bsz, n, -1, c).sum(axis=2)
-
-
 # ---------------------------------------------------------------------------
 # forward pass SF: max/min_k z1 + bn2-stat reductions
 # ---------------------------------------------------------------------------

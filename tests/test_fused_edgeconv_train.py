@@ -130,3 +130,40 @@ def test_running_stat_values_are_batch_stats():
         var1, jnp.maximum(jnp.mean(e0**2, (0, 1, 2))
                           - jnp.mean(e0, (0, 1, 2))**2, 0.0),
         rtol=2e-2, atol=2e-2)
+
+
+def test_manualbn_record_matches_call_update():
+    """record_batch_stats (used by the fused train path) must update the
+    running averages exactly like ManualBN.__call__ in train mode."""
+    from flax import linen as nn
+
+    from gfs3dseg_gws_tpu.models.layers import ManualBN
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 16, 8)).astype(np.float32))
+
+    class ViaCall(nn.Module):
+        def setup(self):
+            self.bn = ManualBN(8)
+
+        def __call__(self, x):
+            return self.bn(x, use_running_average=False)
+
+    class ViaRecord(nn.Module):
+        def setup(self):
+            self.bn = ManualBN(8)
+
+        def __call__(self, x):
+            mu = jnp.mean(x, (0, 1))
+            var = jnp.maximum(jnp.mean(x * x, (0, 1)) - mu * mu, 0.0)
+            self.bn.record_batch_stats(mu, var)
+            return x
+
+    va = ViaCall().init(jax.random.PRNGKey(0), x)
+    vb = ViaRecord().init(jax.random.PRNGKey(0), x)
+    _, ua = ViaCall().apply(va, x, mutable=["batch_stats"])
+    _, ub = ViaRecord().apply(vb, x, mutable=["batch_stats"])
+    sa = jax.tree.leaves(ua["batch_stats"])
+    sb = jax.tree.leaves(ub["batch_stats"])
+    for a, b in zip(sa, sb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
