@@ -113,8 +113,9 @@ class EdgeConvBlock(nn.Module):
                 x @ wd, x @ (wc - wd), bn1.scale, bn1.bias,
                 layers[0].conv.kernel, bn2.scale, bn2.bias, idx,
                 neg_slope=LEAKY_SLOPE)
-            bn1.record_batch_stats(mu1, var1)
-            bn2.record_batch_stats(mu2, var2)
+            n_stats = b * n * self.k        # stats reduce over (B, N, K)
+            bn1.record_batch_stats(mu1, var1, n_stats)
+            bn2.record_batch_stats(mu2, var2, n_stats)
             return out
         h_nbr = x @ wd                                       # (B, N, w0)
         h_cen = x @ (wc - wd)                                # (B, N, w0)

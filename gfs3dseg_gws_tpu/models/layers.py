@@ -6,7 +6,10 @@ that is exactly one MXU matmul, and XLA fuses the BatchNorm scale/shift and
 LeakyReLU into it.
 
 BatchNorm matches torch semantics (momentum 0.1 torch == 0.9 flax, eps 1e-5,
-running stats in the `batch_stats` collection).
+running stats in the `batch_stats` collection, and — unlike flax's
+nn.BatchNorm — the running variance is updated with torch's UNBIASED batch
+variance, x n/(n-1); normalisation itself uses the biased variance exactly
+like torch BatchNorm1d/2d).
 """
 from __future__ import annotations
 
@@ -29,12 +32,49 @@ def leaky_relu(x: jax.Array) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
 
 
-class BatchNorm(nn.BatchNorm):
-    """torch-compatible defaults."""
+class BatchNorm(nn.Module):
+    """torch-semantics BatchNorm over the trailing channel axis.
+
+    Variable names/shapes match flax.linen.BatchNorm (params scale/bias,
+    batch_stats mean/var) so checkpoints are interchangeable. The one
+    behavioural difference from flax is torch parity: the running variance
+    EMA uses the UNBIASED batch variance (x n/(n-1)) while normalisation
+    uses the biased one — exactly torch BatchNorm1d/2d
+    (reference model/dgcnn.py:45-80).
+    """
 
     use_running_average: bool | None = None
     momentum: float = 0.9
     epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 use_running_average: bool | None = None) -> jax.Array:
+        ura = nn.merge_param("use_running_average",
+                             self.use_running_average, use_running_average)
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,)))
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(x), axes) - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = self.momentum
+                ubvar = jax.lax.stop_gradient(var) * (n / max(n - 1, 1))
+                ra_mean.value = (m * ra_mean.value
+                                 + (1 - m) * jax.lax.stop_gradient(mean))
+                ra_var.value = m * ra_var.value + (1 - m) * ubvar
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * (inv * scale) + bias
 
 
 class ManualBN(nn.Module):
@@ -66,9 +106,11 @@ class ManualBN(nn.Module):
             mean2 = jnp.mean(jnp.square(x), axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
+                n = x.size // self.features
                 m = self.momentum
+                ubvar = var * (n / max(n - 1, 1))  # torch: unbiased EMA
                 self.ra_mean.value = m * self.ra_mean.value + (1 - m) * mean
-                self.ra_var.value = m * self.ra_var.value + (1 - m) * var
+                self.ra_var.value = m * self.ra_var.value + (1 - m) * ubvar
         inv = jax.lax.rsqrt(var + self.epsilon)
         return (x - mean) * (inv * self.scale) + self.bias
 
@@ -77,14 +119,17 @@ class ManualBN(nn.Module):
         s = self.scale * jax.lax.rsqrt(self.ra_var.value + self.epsilon)
         return s, self.bias - self.ra_mean.value * s
 
-    def record_batch_stats(self, mean: jax.Array, var: jax.Array) -> None:
+    def record_batch_stats(self, mean: jax.Array, var: jax.Array,
+                           n: int) -> None:
         """Fold externally-computed batch stats into the running averages —
         the train-mode side effect of __call__ for callers (the fused
-        training EdgeConv kernel) that normalise out-of-module."""
+        training EdgeConv kernel) that normalise out-of-module. `n` is the
+        number of elements reduced per channel (torch's unbiased running-var
+        correction n/(n-1) is applied here, matching __call__)."""
         if not self.is_initializing():
             m = self.momentum
             mean = jax.lax.stop_gradient(mean)
-            var = jax.lax.stop_gradient(var)
+            var = jax.lax.stop_gradient(var) * (n / max(n - 1, 1))
             self.ra_mean.value = m * self.ra_mean.value + (1 - m) * mean
             self.ra_var.value = m * self.ra_var.value + (1 - m) * var
 

@@ -60,6 +60,17 @@ def _topk_iterative(scores: jax.Array, k: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)                         # (M, k)
 
 
+@functools.lru_cache(maxsize=None)
+def _warn_gate_fallback(n: int, tile_q: int) -> None:
+    """One-time notice that the fused kNN kernel gate (n >= 2048 and
+    n % tile_q == 0) sent this shape to the exact XLA path."""
+    import logging
+    logging.getLogger(__name__).warning(
+        "knn: n=%d fails the Pallas-kernel gate (needs n >= 2048 and "
+        "n %% %d == 0) — using the exact XLA fallback (slower at scale).",
+        n, tile_q)
+
+
 def _pick_unroll(k: int, unroll: int) -> int:
     """Largest divisor of k that is <= unroll (chunked-unroll factor)."""
     for u in range(min(unroll, k), 0, -1):
@@ -125,6 +136,7 @@ def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512,
     # pathology around the masked-select scratch writes); the exact XLA path
     # is fast enough below production size.
     if n % tile_q != 0 or n < 2048:
+        _warn_gate_fallback(n, tile_q)
         return _knn_xla(x, k)
     grid = (b, n // tile_q)
     # full unroll at production N compiles fast with scratch-ref state and

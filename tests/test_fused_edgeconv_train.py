@@ -156,7 +156,7 @@ def test_manualbn_record_matches_call_update():
         def __call__(self, x):
             mu = jnp.mean(x, (0, 1))
             var = jnp.maximum(jnp.mean(x * x, (0, 1)) - mu * mu, 0.0)
-            self.bn.record_batch_stats(mu, var)
+            self.bn.record_batch_stats(mu, var, n=x.shape[0] * x.shape[1])
             return x
 
     va = ViaCall().init(jax.random.PRNGKey(0), x)
