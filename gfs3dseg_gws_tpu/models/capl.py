@@ -112,22 +112,25 @@ class GWCAPL(nn.Module):
 
     def get_fg_feat(self, x: jax.Array, mask: jax.Array, gp: jax.Array
                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Masked foreground features of one support shot (capl.py:71-88).
+        """Masked foreground features of support shots (capl.py:71-88).
 
-        Fixed-shape variant: instead of boolean indexing it returns the mask
-        SUM/COUNT so callers average across shots exactly like the reference.
+        Fixed-shape variant: instead of boolean indexing it returns per-shot
+        mask SUM/COUNT so callers average across shots exactly like the
+        reference. Batched over shots — the reference registers prototypes
+        one bs=1 forward per shot (train.py:266-277); here all S shots of
+        all seeds run as ONE compiled step.
 
         Args:
-          x: (1, N, C_in), mask: (1, N) binary.
+          x: (S, N, C_in), mask: (S, N) binary.
         Returns:
-          (fg_feat_sum (main_dim,), fg_count (), fg_gw_hist (num_gw,))
+          (fg_feat_sums (S, main_dim), fg_counts (S,), fg_gw_hists (S, num_gw))
         """
         point_feat, _, gw = self.get_features(x, gp, train=False)
-        m = mask[0].astype(point_feat.dtype)                  # (N,)
-        fg_sum = jnp.einsum("nc,n->c", point_feat[0], m)
-        fg_cnt = jnp.sum(m)
-        gw_hist = jnp.einsum("nk,n->k", gw[0], m.astype(gw.dtype))
-        return fg_sum, fg_cnt, gw_hist
+        m = mask.astype(point_feat.dtype)                     # (S, N)
+        fg_sums = jnp.einsum("snc,sn->sc", point_feat, m)
+        fg_cnts = jnp.sum(m, axis=-1)
+        gw_hists = jnp.einsum("snk,sn->sk", gw, m.astype(gw.dtype))
+        return fg_sums, fg_cnts, gw_hists
 
     # ------------------------------------------------------------------ #
     # prototype classifier
@@ -187,7 +190,9 @@ class GWCAPL(nn.Module):
     # ------------------------------------------------------------------ #
 
     def generate_fake_proto(self, feats: jax.Array, y: jax.Array,
-                            main_proto: jax.Array, rng: jax.Array
+                            main_proto: jax.Array,
+                            rng: Optional[jax.Array] = None,
+                            fake_row: Optional[jax.Array] = None
                             ) -> Tuple[jax.Array, jax.Array]:
         """CAPL eqn.8 (reference capl.py:364-411).
 
@@ -200,7 +205,12 @@ class GWCAPL(nn.Module):
           feats: (B2, N, C) second-half-of-batch point features.
           y: (B2, N) labels in {0..base_num} (0 = background).
           main_proto: (cls, C).
-          rng: PRNG key for the fake-class draw.
+          rng: PRNG key for the fake-class draw (ignored when `fake_row`
+            is given).
+          fake_row: optional explicit (cls,) {0,1} fake-class mask. The
+            reference draws its set with host python `random.sample`
+            (capl.py:381-385); this override lets the cross-framework
+            oracle tests pin both frameworks to the same draw.
         Returns:
           (new_proto (cls, C) — L2-normalised rows except fake rows,
            fake_row_mask (cls,) in {0.,1.} — rows replaced by feature means)
@@ -209,14 +219,17 @@ class GWCAPL(nn.Module):
         onehot = jax.nn.one_hot(y, n_cls + 1, dtype=feats.dtype)  # (B2,N,cls+1)
         counts = jnp.sum(onehot, axis=(0, 1))                  # (cls+1,)
         present = counts[1:] > 0                               # (cls,) excl bg
-        n_present = jnp.sum(present.astype(jnp.int32))
-        novel_num = n_present // 2
 
-        # uniform subset of size novel_num among present classes
-        noise = jax.random.uniform(rng, (n_cls,))
-        score = jnp.where(present, noise, -1.0)
-        rank = jnp.argsort(jnp.argsort(-score))                # descending rank
-        fake_row = (present & (rank < novel_num)).astype(feats.dtype)  # (cls,)
+        if fake_row is None:
+            n_present = jnp.sum(present.astype(jnp.int32))
+            novel_num = n_present // 2
+            # uniform subset of size novel_num among present classes
+            noise = jax.random.uniform(rng, (n_cls,))
+            score = jnp.where(present, noise, -1.0)
+            rank = jnp.argsort(jnp.argsort(-score))            # descending rank
+            fake_row = (present & (rank < novel_num)).astype(feats.dtype)
+        else:
+            fake_row = fake_row.astype(feats.dtype)            # (cls,)
 
         feats_n = l2norm(feats, axis=-1)
         class_sums = jnp.einsum("bnk,bnc->kc", onehot, feats_n,
@@ -235,12 +248,16 @@ class GWCAPL(nn.Module):
 
     def gp_weight(self, gp_coding: jax.Array, gw_onehot: jax.Array,
                   th: float, y: Optional[jax.Array] = None,
-                  base_num: Optional[int] = None
+                  base_num: Optional[int] = None,
+                  mask: Optional[jax.Array] = None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Reference capl.py:92-142 (test branch).
 
         gp_coding: (cls, num_gw) multi-hot class codings.
         gw_onehot: (B, N, num_gw) hard word assignment.
+        mask: optional (B, N) validity mask — padded rows of the final short
+        batch are excluded from the gp_acc/gp_novel_acc means (the reference
+        never pads, so its per-batch means only ever see real points).
         Returns (weight (B, N, cls), gp_acc, gp_novel_acc).
         """
         score = jnp.einsum("kw,bnw->bnk", gp_coding, gw_onehot,
@@ -251,10 +268,14 @@ class GWCAPL(nn.Module):
             n_cls = gp_coding.shape[0]
             gt_onehot = jax.nn.one_hot(y, n_cls, dtype=score.dtype)
             per_point = jnp.sum(gt_onehot * score, axis=-1)     # (B, N)
-            acc = jnp.mean(per_point)
+            if mask is None:
+                w = jnp.ones_like(per_point)
+            else:
+                w = mask.astype(score.dtype)
+            acc = jnp.sum(per_point * w) / jnp.maximum(jnp.sum(w), 1.0)
             if base_num is None:
                 base_num = self.base_num
-            novel_mask = (y > base_num - 1).astype(score.dtype)
+            novel_mask = (y > base_num - 1).astype(score.dtype) * w
             novel_cnt = jnp.sum(novel_mask)
             novel_acc = jnp.where(
                 novel_cnt > 0,
@@ -270,17 +291,23 @@ class GWCAPL(nn.Module):
     # ------------------------------------------------------------------ #
 
     def __call__(self, x: jax.Array, y: jax.Array, gp: jax.Array,
-                 train: bool = True) -> Tuple[jax.Array, jax.Array]:
+                 train: bool = True,
+                 fake_row: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
         """Base-stage training pass (reference capl.py:194-242).
 
+        `fake_row` optionally pins the fake-novel class draw (see
+        generate_fake_proto) — used by the reference-oracle parity tests.
         Returns (pred_labels (B, N), ce_loss scalar).
         """
         point_feat, _, _ = self.get_features(x, gp, train=train)
         fake_num = x.shape[0] // 2
-        rng = self.make_rng("fake") if train else jax.random.PRNGKey(0)
+        rng = (self.make_rng("fake") if train and fake_row is None
+               else jax.random.PRNGKey(0))
 
         ori_proto, _ = self.generate_fake_proto(
-            point_feat[fake_num:], y[fake_num:], self.main_proto, rng)
+            point_feat[fake_num:], y[fake_num:], self.main_proto, rng,
+            fake_row=fake_row)
 
         x_pre_1 = self.get_pred(point_feat, ori_proto, use_bg_proto=True)
         loss_ce_1 = cross_entropy(x_pre_1, y, ignore_index=255)
@@ -305,9 +332,10 @@ class GWCAPL(nn.Module):
     def evaluate_multi(self, x: jax.Array, gp: jax.Array,
                        gened_protos: jax.Array, base_coding: jax.Array,
                        novel_codings: jax.Array,
-                       y: Optional[jax.Array] = None) -> Tuple[jax.Array,
-                                                               jax.Array,
-                                                               jax.Array]:
+                       y: Optional[jax.Array] = None,
+                       valid: Optional[jax.Array] = None) -> Tuple[jax.Array,
+                                                                   jax.Array,
+                                                                   jax.Array]:
         """Evaluate S registered prototype sets in ONE feature sweep.
 
         The reference's 5-support-seed evaluation (train.py:465-489) reruns
@@ -323,6 +351,10 @@ class GWCAPL(nn.Module):
         base = self.base_num
         refine = self.post_refine_proto(self.main_proto, point_feat,
                                         use_bg_proto=False)   # (B, cls, C)
+        mask = None
+        if valid is not None:
+            mask = jnp.broadcast_to(
+                (jnp.arange(x.shape[0]) < valid)[:, None], x.shape[:2])
 
         def head(gened_proto, novel_coding):
             merged = jnp.concatenate([
@@ -334,14 +366,15 @@ class GWCAPL(nn.Module):
             x_pre = self.get_pred(point_feat, merged)
             gp_coding = jnp.concatenate([base_coding, novel_coding], axis=0)
             weight, gp_acc, gp_nacc = self.gp_weight(
-                gp_coding, gw_onehot, th=self.eval_weight, y=y)
+                gp_coding, gw_onehot, th=self.eval_weight, y=y, mask=mask)
             return x_pre * weight, gp_acc, gp_nacc
 
         return jax.vmap(head)(gened_protos, novel_codings)
 
     def evaluate(self, x: jax.Array, gp: jax.Array, gened_proto: jax.Array,
                  base_coding: jax.Array, novel_coding: jax.Array,
-                 y: Optional[jax.Array] = None
+                 y: Optional[jax.Array] = None,
+                 valid: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """GFS evaluation pass (reference capl.py:170-192).
 
@@ -362,7 +395,11 @@ class GWCAPL(nn.Module):
         ], axis=1)
         x_pre = self.get_pred(point_feat, merged)             # (B, N, cls)
 
+        mask = None
+        if valid is not None:
+            mask = jnp.broadcast_to(
+                (jnp.arange(x.shape[0]) < valid)[:, None], x.shape[:2])
         gp_coding = jnp.concatenate([base_coding, novel_coding], axis=0)
         weight, gp_acc, gp_novel_acc = self.gp_weight(
-            gp_coding, gw_onehot, th=self.eval_weight, y=y)
+            gp_coding, gw_onehot, th=self.eval_weight, y=y, mask=mask)
         return x_pre * weight, gp_acc, gp_novel_acc

@@ -17,6 +17,7 @@ from gfs3dseg_gws_tpu.parallel.mesh import (
 from gfs3dseg_gws_tpu.parallel.optim import make_gfs_optimizer, step_lr
 from gfs3dseg_gws_tpu.parallel.steps import (
     TrainState,
+    jit_init,
     make_gfs_train_step,
     make_gfs_eval_step,
     make_pretrain_step,
@@ -34,6 +35,7 @@ __all__ = [
     "make_gfs_optimizer",
     "step_lr",
     "TrainState",
+    "jit_init",
     "make_gfs_train_step",
     "make_gfs_eval_step",
     "make_pretrain_step",

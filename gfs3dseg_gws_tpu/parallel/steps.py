@@ -51,6 +51,15 @@ def _shardings(mesh: Optional[Mesh]):
     return NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
 
 
+def jit_init(model, rngs, *args, **kwargs):
+    """model.init under jit.
+
+    Eager init dispatches hundreds of tiny ops one by one; through the axon
+    tunnel that costs minutes (measured 159s for the full GWCAPL at N=2048
+    vs ~10s compiled). kwargs must be static (e.g. train=True)."""
+    return jax.jit(lambda r, *a: model.init(r, *a, **kwargs))(rngs, *args)
+
+
 _STEP_CACHE: dict = {}
 
 
@@ -115,7 +124,7 @@ def make_gfs_eval_step(model, num_classes: int,
              novel_coding, valid):
         logits, gp_acc, gp_nacc = model.apply(
             variables, points, gp, gened_proto, base_coding, novel_coding,
-            labels, method="evaluate")
+            labels, valid, method="evaluate")
         pred = jnp.argmax(logits, axis=-1)
         row_ok = (jnp.arange(points.shape[0]) < valid)
         mask = jnp.broadcast_to(row_ok[:, None], labels.shape)
@@ -147,7 +156,7 @@ def make_gfs_eval_multi_step(model, num_classes: int,
              novel_codings, valid):
         logits, gp_acc, gp_nacc = model.apply(
             variables, points, gp, gened_protos, base_coding, novel_codings,
-            labels, method="evaluate_multi")          # (S, B, N, cls)
+            labels, valid, method="evaluate_multi")   # (S, B, N, cls)
         pred = jnp.argmax(logits, axis=-1)            # (S, B, N)
         row_ok = (jnp.arange(points.shape[0]) < valid)
         mask = jnp.broadcast_to(row_ok[:, None], labels.shape)
@@ -271,10 +280,16 @@ def make_coding_step(model, num_base: int,
 
 def make_fg_feat_step(model, mesh: Optional[Mesh] = None) -> Callable:
     """Support-shot foreground feature extraction for prototype registration
-    (reference train.py:266-277 via capl.py:71-88).
+    (reference train.py:266-277 via capl.py:71-88), batched over ALL shots
+    (and all seeds) at once — the reference's 150 bs=1 forwards collapse
+    into one compiled step.
 
-    signature: (variables, points (1,N,Cin), mask (1,N), gp) ->
-        (fg_sum (C,), fg_count (), gw_hist (K,))
+    signature: (variables, points (S,N,Cin), mask (S,N), gp) ->
+        (fg_sums (S,C), fg_counts (S,), gw_hists (S,K))
+
+    The shot axis is replicated rather than mesh-sharded: S (= seeds x
+    classes x k_shot) rarely divides the mesh and the whole call is a tiny
+    fraction of a validation sweep.
     """
 
     def step(variables, points, mask, gp):

@@ -56,3 +56,19 @@ def test_multi_matches_per_seed(tmp_path):
         np.testing.assert_allclose(multi[i][4], single[4], rtol=1e-5,
                                    atol=1e-6, err_msg=f"seed {i}")
         np.testing.assert_allclose(multi[i][0], single[0], rtol=1e-5)
+
+    # gp_acc / gp_novel_acc must exclude padded rows: evaluating a padded
+    # batch with valid=2 must match evaluating just the 2 real blocks
+    # (the eval forward is per-block independent in eval mode)
+    key = jax.random.PRNGKey(7)
+    pts = jax.random.normal(key, (4, NPTS, 9))
+    lbl = jax.random.randint(jax.random.PRNGKey(8), (4, NPTS), 0, 13)
+    _, acc_pad, nacc_pad = model.apply(
+        variables, pts, gp, jnp.asarray(geneds[0]), jnp.asarray(base_coding),
+        jnp.asarray(novel_codings[0]), lbl, jnp.int32(2), method="evaluate")
+    _, acc_real, nacc_real = model.apply(
+        variables, pts[:2], gp, jnp.asarray(geneds[0]),
+        jnp.asarray(base_coding), jnp.asarray(novel_codings[0]), lbl[:2],
+        method="evaluate")
+    np.testing.assert_allclose(float(acc_pad), float(acc_real), rtol=1e-5)
+    np.testing.assert_allclose(float(nacc_pad), float(nacc_real), rtol=1e-5)
