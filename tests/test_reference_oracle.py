@@ -1,0 +1,275 @@
+"""Cross-framework parity against the REFERENCE implementation itself.
+
+Unlike test_torch_parity.py (which rebuilds reference-shaped torch modules
+locally), these tests import the reference's ACTUAL classes from
+/root/reference (model/capl.py:21, model/dgcnn.py:83, runs/eval.py:9), run
+them on CPU torch, and assert our framework agrees on identical inputs:
+
+  (a) the FULL GFS eval branch (reference capl.py:170-192): one checkpoint
+      exported by utils/checkpoint.py::save_torch_gfs_checkpoint is strict-
+      loaded into the reference model; logits, gp_acc/gp_novel_acc, argmax
+      predictions and the resulting per-class IoU must match.
+  (b) one train-branch step with a PINNED fake-class draw (reference
+      capl.py:364-411 uses host `random.sample`; both frameworks are pinned
+      to the same subset): CE loss and predictions must match.
+  (c) the GFS metric (reference runs/eval.py:9-108) vs ops/metrics.gfs_miou
+      on random prediction sets, S3DIS and ScanNet paths.
+
+With these in place, mIoU parity with the reference (BASELINE.md north
+star, +-0.5pt) is reduced to data availability alone — every compute stage
+is oracle-pinned against the reference's own code.
+
+The reference tree is treated as an untrusted oracle: we import and execute
+its model code in-process (CPU only; `torch.Tensor.cuda` is patched to a
+no-op because capl.py:398 hard-codes .cuda()), but never copy it.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from gfs3dseg_gws_tpu.models.capl import GWCAPL
+from gfs3dseg_gws_tpu.ops.metrics import confusion_matrix, gfs_miou
+from gfs3dseg_gws_tpu.utils.checkpoint import (
+    load_torch_gfs_checkpoint,
+    save_torch_gfs_checkpoint,
+)
+
+REFERENCE_ROOT = "/root/reference"
+
+# full production architecture (reference train.py:733-817 defaults) at a
+# reduced point count / GW count to keep CPU runtime sane
+CLASSES, BASE_NUM, NUM_GW = 13, 7, 50
+B, N, CIN, K = 4, 256, 9, 20
+EDGE_WIDTHS = ((64, 64), (64, 64), (64, 64))
+MLP_WIDTHS = (512, 256)
+BASE_WIDTHS = (128, 64)
+OUTPUT_DIM = 64
+MAIN_DIM = 128
+FEAT_DIM = 64 + 64 + 64  # edgeconv1 + attention + base_learner
+EVAL_WEIGHT = 1.2
+
+
+class DummyLogger:
+    def cprint(self, *_args, **_kw):
+        pass
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    """Import the reference's torch modules, CPU-proofed."""
+    import os
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not available")
+    # capl.py:398 hard-codes `.cuda()` inside generate_fake_proto; make it a
+    # no-op so the train branch runs on CPU (the classes are otherwise
+    # device-agnostic — only the reference drivers call .cuda()).
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import model.capl as ref_capl
+        import runs.eval as ref_eval
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return ref_capl, ref_eval
+
+
+def _randomized_variables(seed=0):
+    """Init our GWCAPL and perturb BN running stats so the conversion path
+    is genuinely exercised (fresh init stats are all 0-mean/1-var)."""
+    model = GWCAPL(classes=CLASSES, base_num=BASE_NUM, num_gw=NUM_GW,
+                   main_dim=MAIN_DIM, eval_weight=EVAL_WEIGHT,
+                   edgeconv_widths=EDGE_WIDTHS, mlp_widths=MLP_WIDTHS,
+                   base_widths=BASE_WIDTHS, output_dim=OUTPUT_DIM,
+                   k=K, use_pallas=False)
+    rng = jax.random.PRNGKey(seed)
+    x0 = jnp.zeros((2, N, CIN))
+    y0 = jnp.zeros((2, N), jnp.int32)
+    gp0 = jnp.zeros((NUM_GW, FEAT_DIM))
+    variables = model.init({"params": rng, "dropout": rng, "fake": rng},
+                           x0, y0, gp0, train=True)
+    gen = np.random.default_rng(seed + 100)
+
+    def perturb(path, leaf):
+        name = "/".join(str(p.key) for p in path)
+        arr = np.asarray(leaf)
+        if name.endswith("mean"):
+            return jnp.asarray(gen.uniform(-0.2, 0.2, arr.shape)
+                               .astype(np.float32))
+        return jnp.asarray(gen.uniform(0.5, 1.5, arr.shape)
+                           .astype(np.float32))
+
+    stats = jax.tree_util.tree_map_with_path(perturb,
+                                             variables["batch_stats"])
+    return model, {"params": variables["params"], "batch_stats": stats}
+
+
+@pytest.fixture(scope="module")
+def paired_models(reference_modules, tmp_path_factory):
+    """(our model, variables, reference model) sharing ONE checkpoint,
+    round-tripped through the torch .pth converter."""
+    ref_capl, _ = reference_modules
+    model, variables = _randomized_variables()
+
+    pth = str(tmp_path_factory.mktemp("oracle") / "model.pth")
+    save_torch_gfs_checkpoint(variables["params"], variables["batch_stats"],
+                              pth, epoch=0, max_iou=0.0)
+
+    gp = np.random.default_rng(7).standard_normal(
+        (NUM_GW, FEAT_DIM)).astype(np.float32)
+    args = types.SimpleNamespace(
+        edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
+        dgcnn_mlp_widths=list(MLP_WIDTHS), pc_in_dim=CIN, dgcnn_k=K,
+        base_widths=list(BASE_WIDTHS), output_dim=OUTPUT_DIM,
+        eval_weight=EVAL_WEIGHT)
+    ref = ref_capl.mpti_net_Point_GeoAsWeight_v2(
+        classes=CLASSES, criterion=torch.nn.CrossEntropyLoss(
+            ignore_index=255),
+        args=args, base_num=BASE_NUM, gp=torch.from_numpy(gp.copy()),
+        energy=0.9)
+    sd = torch.load(pth, map_location="cpu", weights_only=True)["state_dict"]
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    assert not unexpected, f"exporter emits unknown keys: {unexpected}"
+    assert not missing, f"exporter misses reference keys: {missing}"
+    ref.eval()
+
+    # sanity: the converter must also read the artifact back identically
+    params_rt, _, _ = load_torch_gfs_checkpoint(pth)
+    np.testing.assert_allclose(
+        np.asarray(params_rt["main_proto"]),
+        np.asarray(variables["params"]["main_proto"]))
+    return model, variables, ref, gp
+
+
+def _fixture_batch(seed, label_hi):
+    gen = np.random.default_rng(seed)
+    x = gen.standard_normal((B, CIN, N)).astype(np.float32)
+    y = gen.integers(0, label_hi, (B, N)).astype(np.int64)
+    return x, y
+
+
+class TestEvalBranchOracle:
+    """Reference capl.py:170-192 (forward with eval_model=True) vs
+    GWCAPL.evaluate on one converted checkpoint + identical fixture."""
+
+    def test_logits_acc_and_iou_match(self, reference_modules, paired_models):
+        _, ref_eval = reference_modules
+        model, variables, ref, gp = paired_models
+        x, y = _fixture_batch(11, CLASSES)
+        gen = np.random.default_rng(12)
+        gened = gen.standard_normal((CLASSES, MAIN_DIM)).astype(np.float32)
+        gened /= np.linalg.norm(gened, axis=-1, keepdims=True)
+        base_coding = (gen.random((BASE_NUM, NUM_GW)) > 0.6
+                       ).astype(np.float32)
+        novel_coding = (gen.random((CLASSES - BASE_NUM, NUM_GW)) > 0.6
+                        ).astype(np.float32)
+
+        with torch.no_grad():
+            t_logits, t_acc, t_nacc = ref(
+                x=torch.from_numpy(x), y=torch.from_numpy(y),
+                eval_model=True, gened_proto=torch.from_numpy(gened),
+                base_class_coding=torch.from_numpy(base_coding),
+                novel_class_coding=torch.from_numpy(novel_coding))
+
+        j_logits, j_acc, j_nacc = model.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(gp),
+            jnp.asarray(gened), jnp.asarray(base_coding),
+            jnp.asarray(novel_coding), jnp.asarray(y.astype(np.int32)),
+            method="evaluate")
+
+        t_l = t_logits.detach().numpy().transpose(0, 2, 1)
+        j_l = np.asarray(j_logits)
+        np.testing.assert_allclose(t_l, j_l, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(float(t_acc), float(j_acc), atol=1e-4)
+        np.testing.assert_allclose(float(t_nacc), float(j_nacc), atol=1e-4)
+
+        # argmax predictions agree (modulo fp-borderline points)
+        t_pred = np.argmax(t_l, axis=-1)
+        j_pred = np.asarray(jnp.argmax(j_logits, axis=-1))
+        assert np.mean(t_pred != j_pred) < 0.005
+
+        # ... and so does the metric computed from them, through the
+        # reference's own evaluate_metric_GFS (reference train.py:715-717)
+        order = [0, 2, 4, 6, 8, 10, 12, 1, 3, 5, 7, 9, 11]
+        novel = [1, 3, 5, 7, 9, 11]
+        ref_m = ref_eval.evaluate_metric_GFS(
+            DummyLogger(), [t_pred], [y], sorted(order), novel, order)
+        cm = np.asarray(confusion_matrix(
+            jnp.asarray(t_pred), jnp.asarray(y.astype(np.int32)), CLASSES))
+        ours_m = gfs_miou(cm, order, novel)
+        for a, b in zip(ref_m[:4], ours_m[:4]):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+class TestTrainBranchOracle:
+    """Reference capl.py:194-242 (train branch) with a pinned fake-class
+    draw vs GWCAPL.__call__(fake_row=...)."""
+
+    def test_loss_and_pred_match(self, reference_modules, paired_models,
+                                 monkeypatch):
+        ref_capl, _ = reference_modules
+        model, variables, ref, gp = paired_models
+        x, y = _fixture_batch(21, BASE_NUM + 1)  # labels 0..7, 0 = bg
+
+        # pin the reference's fake-novel draw to the first half of the
+        # (ascending) present classes
+        monkeypatch.setattr(ref_capl.random, "sample",
+                            lambda pop, k: list(pop)[:k])
+        fake_num = B // 2
+        present = sorted(set(np.unique(y[fake_num:])) - {0})
+        fake_set = present[:len(present) // 2]
+        fake_row = np.zeros((CLASSES,), np.float32)
+        for c in fake_set:
+            fake_row[c - 1] = 1.0  # reference capl.py:399: row = label - 1
+
+        with torch.no_grad():
+            t_pred, t_loss = ref(x=torch.from_numpy(x),
+                                 y=torch.from_numpy(y), eval_model=False)
+
+        j_pred, j_loss = model.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 1)),
+            jnp.asarray(y.astype(np.int32)), jnp.asarray(gp), False,
+            jnp.asarray(fake_row))
+
+        np.testing.assert_allclose(float(t_loss), float(j_loss), rtol=5e-4)
+        mismatch = np.mean(t_pred.detach().numpy()
+                           != np.asarray(j_pred))
+        assert mismatch < 0.005
+
+
+class TestMetricOracle:
+    """runs/eval.py::evaluate_metric_GFS vs ops/metrics.gfs_miou on random
+    prediction sets — S3DIS and ScanNet paths (reference runs/eval.py:9-108)."""
+
+    @pytest.mark.parametrize("scannet,n_cls", [(False, 13), (True, 21)])
+    def test_gfs_metric_matches(self, reference_modules, scannet, n_cls):
+        _, ref_eval = reference_modules
+        gen = np.random.default_rng(31 + n_cls)
+        order = list(gen.permutation(n_cls))
+        novel = sorted(order[-6:])
+        preds = [gen.integers(0, n_cls, (4, 512)) for _ in range(3)]
+        gts = [gen.integers(0, n_cls, (4, 512)) for _ in range(3)]
+
+        ref_m = ref_eval.evaluate_metric_GFS(
+            DummyLogger(), preds, gts, sorted(range(n_cls)), novel, order,
+            scannet=scannet)
+
+        cm = np.zeros((n_cls, n_cls))
+        for p, g in zip(preds, gts):
+            cm += np.asarray(confusion_matrix(
+                jnp.asarray(p.astype(np.int32)),
+                jnp.asarray(g.astype(np.int32)), n_cls))
+        ours_m = gfs_miou(cm, order, novel, scannet=scannet)
+
+        for name, a, b in zip(("mean", "base", "novel", "hm"),
+                              ref_m[:4], ours_m[:4]):
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12,
+                                       err_msg=name)
+        np.testing.assert_allclose(np.asarray(ref_m[4]),
+                                   np.asarray(ours_m[4]), rtol=1e-9)
