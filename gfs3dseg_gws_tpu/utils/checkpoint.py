@@ -230,6 +230,23 @@ def load_torch_gfs_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
     return params, stats, meta
 
 
+def load_torch_coding(path: str) -> np.ndarray:
+    """Reference base_class_gp_coding_energy={e}.pth — a torch.save of the
+    (n_base, num_gw) multi-hot coding tensor (reference train.py:563,
+    reloaded at train.py:466-467) -> float32 numpy array."""
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    return np.asarray(t.detach().cpu().numpy(), np.float32)
+
+
+def save_torch_coding(coding: np.ndarray, path: str) -> None:
+    """Export a base-class coding to the reference's .pth artifact format."""
+    import torch
+
+    torch.save(torch.from_numpy(np.asarray(coding, np.float32)), path)
+
+
 def save_torch_pretrain_checkpoint(encoder_params: Dict, encoder_stats: Dict,
                                    out_dir: str):
     """Export our DGCNN encoder back to the reference `checkpoint.tar`

@@ -13,6 +13,10 @@ Usage:
 
   # our pretrain npz -> reference checkpoint.tar (written into OUT_DIR)
   python scripts/convert_checkpoint.py npz-to-pretrain  checkpoint.npz out_dir
+
+  # reference base_class_gp_coding_energy={e}.pth -> npz (and back)
+  python scripts/convert_checkpoint.py coding-to-npz  coding.pth out.npz
+  python scripts/convert_checkpoint.py npz-to-coding  coding.npz out.pth
 """
 import argparse
 import os
@@ -24,22 +28,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("mode", choices=["gfs-to-npz", "npz-to-gfs",
-                                    "pretrain-to-npz", "npz-to-pretrain"])
+                                    "pretrain-to-npz", "npz-to-pretrain",
+                                    "coding-to-npz", "npz-to-coding"])
     p.add_argument("src")
     p.add_argument("dst")
     args = p.parse_args()
 
     from gfs3dseg_gws_tpu.utils.checkpoint import (
         load_checkpoint,
+        load_torch_coding,
         load_torch_gfs_checkpoint,
         load_torch_pretrain_checkpoint,
         save_checkpoint,
+        save_torch_coding,
         save_torch_gfs_checkpoint,
         save_torch_pretrain_checkpoint,
     )
     from gfs3dseg_gws_tpu.pipelines.gfs import _unflat
 
-    if args.mode == "gfs-to-npz":
+    if args.mode == "coding-to-npz":
+        import numpy as np
+        np.savez(args.dst, coding=load_torch_coding(args.src))
+    elif args.mode == "npz-to-coding":
+        import numpy as np
+        with np.load(args.src) as z:
+            save_torch_coding(z["coding"], args.dst)
+    elif args.mode == "gfs-to-npz":
         params, stats, meta = load_torch_gfs_checkpoint(args.src)
         save_checkpoint(args.dst, {"params": params, "batch_stats": stats},
                         meta)

@@ -93,3 +93,34 @@ class TestTorchFormats:
         params, stats = load_torch_pretrain_checkpoint(out_dir)
         _assert_trees_equal(variables["params"], params)
         _assert_trees_equal(variables["batch_stats"], stats)
+
+    def test_coding_pth_roundtrip_and_lookup(self, tmp_path):
+        """The reference base_class_gp_coding_energy={e}.pth artifact
+        (train.py:466-467) round-trips and is found by load_base_coding
+        when no .npz exists (converted-reference-checkpoint eval path)."""
+        pytest.importorskip("torch")
+        from gfs3dseg_gws_tpu.pipelines.gfs import load_base_coding
+        from gfs3dseg_gws_tpu.utils.checkpoint import (
+            load_torch_coding,
+            save_torch_coding,
+        )
+
+        coding = (np.random.default_rng(0).random((7, 10)) > 0.5
+                  ).astype(np.float32)
+        pth = str(tmp_path / "base_class_gp_coding_energy=0.9.pth")
+        save_torch_coding(coding, pth)
+        np.testing.assert_array_equal(load_torch_coding(pth), coding)
+
+        # .pth found via extra_dirs (e.g. a converted checkpoint's dir)
+        found = load_base_coding(str(tmp_path / "nonexistent"), 0.9,
+                                 extra_dirs=[str(tmp_path)])
+        np.testing.assert_array_equal(found, coding)
+
+        # our .npz takes precedence when both exist
+        np.savez(str(tmp_path / "base_class_gp_coding_energy=0.9.npz"),
+                 coding=coding * 0.0)
+        found = load_base_coding(str(tmp_path), 0.9)
+        np.testing.assert_array_equal(found, coding * 0.0)
+
+        # nothing found -> None
+        assert load_base_coding(str(tmp_path), 0.95) is None
