@@ -209,6 +209,58 @@ class TestingDataset:
     def __len__(self):
         return len(self.data_list)
 
+    def packed_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """The whole static_test set as contiguous memmaps + a label LUT.
+
+        The reference sweep (train.py:666-731) pays a pickle parse plus a
+        per-unique-class python remap loop per block; at TPU eval rates
+        (>1.5k blocks/s/chip) that host path dominates the sweep. This
+        packs all blocks ONCE into `packed_pcd.npy` (M, N, C) float32 and
+        `packed_label.npy` (M, N) int32 (class-NAME order, exactly the
+        pickle contents), after which a batch is a pure memmap slice.
+
+        Returns (pcd_memmap, label_memmap, lut) where lut maps class-name
+        ids to learning-order ids (apply `lut[label]`); the cache itself is
+        independent of the learning order. Stale caches (block count
+        mismatch) are rebuilt.
+        """
+        pcd_path = os.path.join(self.save_path, "packed_pcd.npy")
+        lbl_path = os.path.join(self.save_path, "packed_label.npy")
+        m = len(self.data_list)
+        ok = os.path.exists(pcd_path) and os.path.exists(lbl_path)
+        if ok:
+            pcd = np.load(pcd_path, mmap_mode="r")
+            ok = pcd.shape[0] == m
+        if not ok:
+            self._build_packed(pcd_path, lbl_path)
+            pcd = np.load(pcd_path, mmap_mode="r")
+        lbl = np.load(lbl_path, mmap_mode="r")
+        lut = np.zeros(max(self.learning_order) + 1, np.int32)
+        for pos, cls in enumerate(self.learning_order):
+            lut[cls] = pos
+        return pcd, lbl, lut
+
+    def _build_packed(self, pcd_path: str, lbl_path: str) -> None:
+        m = len(self.data_list)
+        c = len(self.pc_attribs)
+        pcd = np.lib.format.open_memmap(
+            pcd_path + ".tmp", mode="w+", dtype=np.float32,
+            shape=(m, self.num_point, c))
+        lbl = np.lib.format.open_memmap(
+            lbl_path + ".tmp", mode="w+", dtype=np.int32,
+            shape=(m, self.num_point))
+        for i, name in enumerate(self.data_list):
+            with open(os.path.join(self.save_path, "pcd", name), "rb") as f:
+                pcd[i] = pickle.load(f).astype(np.float32)
+            with open(os.path.join(self.save_path, "label", name),
+                      "rb") as f:
+                lbl[i] = pickle.load(f).astype(np.int32)
+        pcd.flush()
+        lbl.flush()
+        del pcd, lbl
+        os.replace(pcd_path + ".tmp", pcd_path)
+        os.replace(lbl_path + ".tmp", lbl_path)
+
     def __getitem__(self, index: int
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (pcd (N, 9), label in LEARNING order (N,), segment (N,))."""

@@ -31,6 +31,7 @@ from gfs3dseg_gws_tpu.ops.metrics import (
     fewshot_miou,
 )
 from gfs3dseg_gws_tpu.parallel.optim import step_lr
+from gfs3dseg_gws_tpu.parallel.steps import jit_init
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_checkpoint,
     restore_into,
@@ -109,8 +110,8 @@ class FewShotLearner:
         sy = jnp.zeros((fs_cfg.n_way, fs_cfg.k_shot, n), jnp.int32)
         qx = jnp.zeros((fs_cfg.n_way * fs_cfg.n_queries, n, cin))
         qy = jnp.zeros((fs_cfg.n_way * fs_cfg.n_queries, n), jnp.int32)
-        variables = self.model.init({"params": rng, "dropout": rng},
-                                    sx, sy, qx, qy, train=True)
+        variables = jit_init(self.model, {"params": rng, "dropout": rng},
+                             sx, sy, qx, qy, train=True)
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
 
@@ -304,8 +305,8 @@ def finetune(model_cfg, data_cfg, fs_cfg: FewShotConfig,
                      k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
     rng = jax.random.PRNGKey(fs_cfg.seed)
     n, cin = data_cfg.pc_npts, len(data_cfg.pc_attribs)
-    variables = model.init({"params": rng, "dropout": rng},
-                           jnp.zeros((2, n, cin)), True)
+    variables = jit_init(model, {"params": rng, "dropout": rng},
+                         jnp.zeros((2, n, cin)), True)
     params, batch_stats = variables["params"], variables["batch_stats"]
     if pretrain_checkpoint_path:
         enc_p, enc_s = _load_encoder_any(pretrain_checkpoint_path)

@@ -21,6 +21,7 @@ from gfs3dseg_gws_tpu.data.pipeline import batch_iterator
 from gfs3dseg_gws_tpu.data.registry import make_registry
 from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
 from gfs3dseg_gws_tpu.ops.kmeans import cluster_means, kmeans
+from gfs3dseg_gws_tpu.parallel.steps import jit_init
 from gfs3dseg_gws_tpu.ops.linalg import svd_energy_reconstruct
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_checkpoint,
@@ -51,8 +52,9 @@ def extract_basis(model_cfg, data_cfg, num_cnt: int,
                      mlp_widths=model_cfg.dgcnn_mlp_widths,
                      k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
     x0 = jnp.zeros((1, data_cfg.pc_npts, len(data_cfg.pc_attribs)))
-    variables = model.init({"params": jax.random.PRNGKey(seed),
-                            "dropout": jax.random.PRNGKey(seed)}, x0, True)
+    variables = jit_init(model, {"params": jax.random.PRNGKey(seed),
+                                  "dropout": jax.random.PRNGKey(seed)},
+                         x0, True)
     variables = _load_encoder(variables, pretrain_checkpoint_path)
 
     @jax.jit

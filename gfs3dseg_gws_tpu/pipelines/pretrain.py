@@ -19,7 +19,7 @@ from gfs3dseg_gws_tpu.data.pipeline import batch_iterator
 from gfs3dseg_gws_tpu.data.registry import make_registry
 from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
 from gfs3dseg_gws_tpu.ops.metrics import overall_accuracy_and_miou
-from gfs3dseg_gws_tpu.parallel import TrainState, make_mesh, make_pretrain_step, replicate, shard_batch
+from gfs3dseg_gws_tpu.parallel import TrainState, jit_init, make_mesh, make_pretrain_step, replicate, shard_batch
 from gfs3dseg_gws_tpu.parallel.optim import make_pretrain_optimizer
 from gfs3dseg_gws_tpu.parallel.steps import make_eval_logits_step
 from gfs3dseg_gws_tpu.utils.checkpoint import save_checkpoint, save_torch_pretrain_checkpoint
@@ -59,7 +59,8 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                      k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
     rng = jax.random.PRNGKey(pretrain_cfg.seed)
     x0 = jnp.zeros((2, data_cfg.pc_npts, len(data_cfg.pc_attribs)))
-    variables = model.init({"params": rng, "dropout": rng}, x0, True)
+    variables = jit_init(model, {"params": rng, "dropout": rng}, x0,
+                         True)
 
     steps_per_epoch = max(len(train_ds) // pretrain_cfg.batch_size, 1)
     tx = make_pretrain_optimizer(pretrain_cfg.lr, steps_per_epoch,

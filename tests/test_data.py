@@ -154,6 +154,37 @@ class TestStaticSets:
         np.testing.assert_array_equal(pcd, pcd2)
         np.testing.assert_array_equal(label, label2)
 
+    def test_packed_cache_matches_getitem(self, synth):
+        """The memmap fast path (packed_arrays) must reproduce the pickle
+        path exactly, including the name->learning-order label remap; and
+        eval_batches over it must agree with the generic iterator."""
+        _, _, test_dir = synth
+        reg = DatasetRegistry("s3dis", 0, test_dir)
+        all_names = sorted(range(13))
+        order = sorted(reg.train_classes) + sorted(reg.test_classes)
+        ds = StaticTestDataset(test_dir, all_names, order,
+                               {c: reg.class2scans[c] for c in all_names},
+                               num_point=256)
+        pcd_mm, lbl_mm, lut = ds.packed_arrays()
+        assert pcd_mm.shape == (len(ds), 256, 9)
+        for i in (0, len(ds) // 2, len(ds) - 1):
+            p, l, _ = ds[i]
+            np.testing.assert_array_equal(np.asarray(pcd_mm[i]), p)
+            np.testing.assert_array_equal(lut[np.asarray(lbl_mm[i])], l)
+
+        from gfs3dseg_gws_tpu.pipelines.gfs import eval_batches
+        fast = list(eval_batches(ds, 4))
+        os.environ["GFS3D_NO_PACKED"] = "1"
+        try:
+            slow = list(eval_batches(ds, 4))
+        finally:
+            del os.environ["GFS3D_NO_PACKED"]
+        assert len(fast) == len(slow)
+        for (fp, fl, fv), (sp, sl, sv) in zip(fast, slow):
+            assert fv == sv
+            np.testing.assert_array_equal(fp[:fv], sp[:fv])
+            np.testing.assert_array_equal(fl[:fv], sl[:fv])
+
 
 class TestPipeline:
     def test_batch_iterator_shapes(self, synth):

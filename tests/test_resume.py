@@ -54,3 +54,14 @@ def test_resume_continues_training(tmp_path):
     out = train_gfs(model_cfg, data_cfg, cfg2, mesh=None,
                     max_steps_per_epoch=2)
     assert out["history"], "resumed run should evaluate"
+
+    # misaligned resume: start_epoch=3 is NOT a multiple of
+    # coding_interval=2 — the coding must still be computed on the first
+    # loop iteration so validation has one (regression for the round-1
+    # NameError; the reference shares the aligned-only flaw)
+    save3 = os.path.join(root, "run3")
+    cfg3 = replace(cfg1, start_epoch=3, epochs=4, save_path=save3,
+                   model_checkpoint_path=ckpt_path)
+    out = train_gfs(model_cfg, data_cfg, cfg3, mesh=None,
+                    max_steps_per_epoch=2)
+    assert out["history"], "misaligned resume should evaluate"
