@@ -8,8 +8,13 @@ seed sensitivity, unbiasedness vs the no-dropout output, the empirical drop
 fraction, and that gradients are finite and match the rate-0 gradients in
 direction.
 
-Usage: PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/check_attention_dropout.py
+Usage: python scripts/check_attention_dropout.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
