@@ -13,7 +13,10 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from gfs3dseg_gws_tpu.data.registry import S3DIS_CLASSNAMES
+from gfs3dseg_gws_tpu.data.registry import (
+    S3DIS_CLASSNAMES,
+    SCANNET_CLASSNAMES,
+)
 
 
 def _class_signature(cls: int, n_classes: int):
@@ -71,8 +74,13 @@ def make_synthetic_blocks(
     (train_blocks_dir, test_blocks_dir)."""
     rng = np.random.default_rng(seed)
     if classnames is None:
-        classnames = S3DIS_CLASSNAMES[:n_classes] if dataset == "s3dis" else [
-            f"class{i}" for i in range(n_classes)]
+        if dataset == "s3dis":
+            classnames = S3DIS_CLASSNAMES[:n_classes]
+        elif dataset == "scannet":
+            # real table names so the registry's fold lists resolve
+            classnames = SCANNET_CLASSNAMES[:n_classes]
+        else:
+            classnames = [f"class{i}" for i in range(n_classes)]
 
     meta = os.path.join(root, "meta")
     os.makedirs(meta, exist_ok=True)

@@ -56,8 +56,18 @@ def jit_init(model, rngs, *args, **kwargs):
 
     Eager init dispatches hundreds of tiny ops one by one; through the axon
     tunnel that costs minutes (measured 159s for the full GWCAPL at N=2048
-    vs ~10s compiled). kwargs must be static (e.g. train=True)."""
-    return jax.jit(lambda r, *a: model.init(r, *a, **kwargs))(rngs, *args)
+    vs ~10s compiled). kwargs and python-bool positionals (train flags) are
+    kept static so `if train:` branches in modules stay concrete."""
+    static = {i: a for i, a in enumerate(args) if isinstance(a, bool)}
+    dyn = [a for i, a in enumerate(args) if i not in static]
+
+    def init(r, *d):
+        it = iter(d)
+        full = [static[i] if i in static else next(it)
+                for i in range(len(args))]
+        return model.init(r, *full, **kwargs)
+
+    return jax.jit(init)(rngs, *dyn)
 
 
 _STEP_CACHE: dict = {}
