@@ -30,11 +30,19 @@ def kmeans_plus_plus_init(rng: np.random.Generator, x: np.ndarray, k: int,
     n_trials = 2 + int(np.log(k))
     centers = np.empty((k, x.shape[1]), dtype=x.dtype)
     centers[0] = x[rng.integers(n)]
-    closest = ((x - centers[0]) ** 2).sum(-1)
+    # matmul distance form |c|^2 + |x|^2 - 2 c.x: the naive broadcast
+    # difference was ~70 G element-ops at k=180/n=100k (measured 411 s in
+    # the full-size ScanNet get_basis); BLAS brings seeding to ~2 s
+    xx = np.einsum("nd,nd->n", x, x)
+    closest = np.maximum(xx - 2.0 * (x @ centers[0]) + centers[0] @ centers[0],
+                         0.0)
     for i in range(1, k):
         pot = closest.sum()
         cand = rng.choice(n, n_trials, p=closest / pot)
-        d_cand = ((x[cand][:, None, :] - x[None, :, :]) ** 2).sum(-1)  # (T, n)
+        xc = x[cand]                                         # (T, D)
+        d_cand = np.maximum(
+            xx[None, :] - 2.0 * (xc @ x.T)
+            + np.einsum("td,td->t", xc, xc)[:, None], 0.0)   # (T, n)
         new_closest = np.minimum(closest[None, :], d_cand)
         best = new_closest.sum(-1).argmin()
         centers[i] = x[cand[best]]

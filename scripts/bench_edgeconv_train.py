@@ -6,6 +6,12 @@ using the on-device fori_loop differencing methodology (see bench.py).
 
 Usage: PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/bench_edgeconv_train.py
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -8,6 +8,12 @@ Times jitted fwd+bwd+Adam variants to attribute step time:
 
 Usage: python scripts/profile_train_step.py [--batch 16]
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 
@@ -17,7 +23,8 @@ import optax
 
 from gfs3dseg_gws_tpu.models.capl import GWCAPL
 from gfs3dseg_gws_tpu.models.dgcnn import DGCNN
-from gfs3dseg_gws_tpu.parallel import (TrainState, make_gfs_optimizer,
+from gfs3dseg_gws_tpu.parallel import (TrainState, jit_init,
+                                       make_gfs_optimizer,
                                        make_gfs_train_step)
 
 
@@ -49,8 +56,8 @@ def main():
     # ---- full step --------------------------------------------------------
     model = GWCAPL(classes=13, base_num=7, num_gw=150, main_dim=128,
                    use_pallas=on_tpu)
-    variables = model.init({"params": rng, "dropout": rng, "fake": rng},
-                           x, y, gp, train=True)
+    variables = jit_init(model, {"params": rng, "dropout": rng,
+                                 "fake": rng}, x, y, gp, train=True)
     tx = make_gfs_optimizer(0.01, steps_per_epoch=100)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx)
@@ -60,7 +67,7 @@ def main():
 
     # ---- encoder-only: DGCNN + linear probe -------------------------------
     enc = DGCNN(use_pallas=on_tpu)
-    ev = enc.init(rng, x, train=True)
+    ev = jit_init(enc, rng, x, train=True)
     probe = jax.random.normal(jax.random.PRNGKey(4), (256, 13)) * 0.05
     opt = optax.adam(1e-3)
     ost = opt.init(ev["params"])
