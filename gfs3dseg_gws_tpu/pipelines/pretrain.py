@@ -82,6 +82,9 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
         t0 = time.time()
         from gfs3dseg_gws_tpu.pipelines.gfs import train_batches
 
+        # defer the loss sync ~16 steps so float() never sits on the
+        # dispatch critical path (one tunnel round-trip per step otherwise)
+        pending = []
         for i, batch in enumerate(train_batches(
                 train_ds, pretrain_cfg.batch_size, seed=pretrain_cfg.seed,
                 epoch=epoch)):
@@ -92,6 +95,10 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                 points = shard_batch(points, mesh)
                 labels = shard_batch(labels, mesh)
             state, loss = train_step(state, points, labels, rng)
+            pending.append(loss)
+            while len(pending) > 16:
+                loss_m.update(float(pending.pop(0)))
+        for loss in pending:
             loss_m.update(float(loss))
         logger.cprint(f"=====[Train] Epoch: {epoch} | Loss: {loss_m.avg:.4f} "
                       f"| {time.time() - t0:.1f}s =====")
@@ -104,7 +111,8 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                 variables_d = variables_now
             else:
                 variables_d = variables_now
-            cm = np.zeros((num_classes, num_classes), np.float64)
+            # async dispatch, one host sync at the end (see gfs.validate)
+            results = []
             for batch in batch_iterator(valid_ds, pretrain_cfg.batch_size,
                                         pad_final=True):
                 points, labels = batch[0], batch[1].astype(np.int32)
@@ -112,8 +120,11 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                 if mesh is not None:
                     points = shard_batch(points, mesh)
                     labels = shard_batch(labels, mesh)
-                cm += np.asarray(eval_step(variables_d, points, labels,
-                                           jnp.int32(valid)), np.float64)
+                results.append(eval_step(variables_d, points, labels,
+                                         jnp.int32(valid)))
+            cm = np.zeros((num_classes, num_classes), np.float64)
+            for r in results:
+                cm += np.asarray(r, np.float64)
             oa, miou, _ = overall_accuracy_and_miou(cm)
             logger.cprint(f"===== EPOCH [{epoch}]: Accuracy: {oa:.6f} | "
                           f"mIoU: {miou:.6f} =====")
