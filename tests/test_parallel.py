@@ -143,3 +143,26 @@ class TestPretrainStep:
             state, loss = step(state, xb, yb, rng)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+def test_jit_init_static_bool_flags():
+    """jit_init must keep python-bool positionals (train flags) static —
+    a traced bool breaks `if train:` branches in modules (regression: the
+    TPU CLIs crashed with TracerBoolConversionError)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from gfs3dseg_gws_tpu.parallel import jit_init
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            if train:  # requires a concrete bool
+                x = x * 2.0
+            return nn.Dense(4)(x)
+
+    v1 = jit_init(M(), jax.random.PRNGKey(0), jnp.ones((2, 3)), True)
+    v2 = M().init(jax.random.PRNGKey(0), jnp.ones((2, 3)), True)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: jnp.allclose(a, b), v1, v2))
