@@ -232,6 +232,8 @@ class TestingDataset:
             pcd = np.load(pcd_path, mmap_mode="r")
             ok = pcd.shape[0] == m
         if not ok:
+            # may raise OSError on a read-only dataset mount — callers
+            # (pipelines.gfs.eval_batches) fall back to the pickle path
             self._build_packed(pcd_path, lbl_path)
             pcd = np.load(pcd_path, mmap_mode="r")
         lbl = np.load(lbl_path, mmap_mode="r")

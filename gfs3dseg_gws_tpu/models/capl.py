@@ -221,6 +221,10 @@ class GWCAPL(nn.Module):
         present = counts[1:] > 0                               # (cls,) excl bg
 
         if fake_row is None:
+            if rng is None:
+                raise ValueError(
+                    "generate_fake_proto: rng is required when fake_row "
+                    "is not given")
             n_present = jnp.sum(present.astype(jnp.int32))
             novel_num = n_present // 2
             # uniform subset of size novel_num among present classes

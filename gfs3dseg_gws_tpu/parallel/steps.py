@@ -57,7 +57,14 @@ def jit_init(model, rngs, *args, **kwargs):
     Eager init dispatches hundreds of tiny ops one by one; through the axon
     tunnel that costs minutes (measured 159s for the full GWCAPL at N=2048
     vs ~10s compiled). kwargs and python-bool positionals (train flags) are
-    kept static so `if train:` branches in modules stay concrete."""
+    kept static so `if train:` branches in modules stay concrete. kwargs
+    are restricted to bools: an array kwarg would be silently baked into
+    the compiled program as a constant (stale on the next call). Builds a
+    fresh jit per call by design — init runs once per process; repeated
+    jitted steps belong in cached_step."""
+    assert all(isinstance(v, bool) for v in kwargs.values()), (
+        "jit_init kwargs must be static bools (train flags); pass arrays "
+        f"positionally: {kwargs}")
     static = {i: a for i, a in enumerate(args) if isinstance(a, bool)}
     dyn = [a for i, a in enumerate(args) if i not in static]
 

@@ -72,8 +72,9 @@ def train_batches(dataset: PretrainBlockDataset, batch_size: int, seed: int,
     GFS3D_NO_NATIVE=1.
     """
     from gfs3dseg_gws_tpu.data import native_loader as nl
+    from gfs3dseg_gws_tpu.utils.env import env_flag
 
-    use_native = not os.environ.get("GFS3D_NO_NATIVE") and nl.is_available()
+    use_native = not env_flag("GFS3D_NO_NATIVE") and nl.is_available()
     if use_native:
         label_mode = (nl.LABEL_ALL_CLASSES if dataset.use_all_classes
                       else nl.LABEL_LEARNING_ORDER)
@@ -189,8 +190,20 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
     """
     step = cached_step(make_coding_step, model, n_base, mesh)
     k = gp.shape[0]
-    # async dispatch, one host sync at the end — a per-batch np.asarray
-    # would put a tunnel round-trip on every step (see validate())
+    # bounded async dispatch — a per-batch np.asarray would put a tunnel
+    # round-trip on every step (see validate())
+    sums = np.zeros((n_base, k), np.float64)
+    counts = np.zeros((n_base,), np.float64)
+    bg_sum = np.zeros((k,), np.float64)
+    bg_blocks = [0.0]
+
+    def consume(res):
+        s, c, b, nb = res
+        np.add(sums, np.asarray(s, np.float64), out=sums)
+        np.add(counts, np.asarray(c, np.float64), out=counts)
+        np.add(bg_sum, np.asarray(b, np.float64), out=bg_sum)
+        bg_blocks[0] += float(nb)
+
     results = []
     for batch in _coding_batches(dataset, batch_size, seed):
         points, labels = batch[0], batch[1]
@@ -207,15 +220,11 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
                 shard_batch(points, mesh) if mesh else points,
                 shard_batch(labels, mesh) if mesh else labels,
                 gp))
-    sums = np.zeros((n_base, k), np.float64)
-    counts = np.zeros((n_base,), np.float64)
-    bg_sum = np.zeros((k,), np.float64)
-    bg_blocks = 0.0
-    for s, c, b, nb in results:
-        sums += np.asarray(s, np.float64)
-        counts += np.asarray(c, np.float64)
-        bg_sum += np.asarray(b, np.float64)
-        bg_blocks += float(nb)
+        if len(results) > 48:
+            consume(results.pop(0))
+    for res in results:
+        consume(res)
+    bg_blocks = bg_blocks[0]
     means = sums / np.maximum(counts[:, None], 1.0)
     coding = np.asarray(energy_multihot(jnp.asarray(means), energy))
     bg_coding = bg_sum / max(bg_blocks, 1.0)
@@ -227,8 +236,9 @@ def _coding_batches(dataset, batch_size: int, seed: int):
     coding sweep; native pool when available (the sweep is host-IO-bound with
     the Python loader), padded final batch either way."""
     from gfs3dseg_gws_tpu.data import native_loader as nl
+    from gfs3dseg_gws_tpu.utils.env import env_flag
 
-    if not os.environ.get("GFS3D_NO_NATIVE") and nl.is_available():
+    if not env_flag("GFS3D_NO_NATIVE") and nl.is_available():
         pool = nl.NativeBatchPool(
             dataset.data_path, dataset.block_names, dataset.classes,
             dataset.num_point, batch_size,
@@ -302,9 +312,21 @@ def eval_batches(val_dataset, batch_size: int):
     back to the generic thread-pool iterator for datasets without packing;
     disable the fast path with GFS3D_NO_PACKED=1.
     """
+    from gfs3dseg_gws_tpu.utils.env import env_flag
+
     packed = getattr(val_dataset, "packed_arrays", None)
-    if packed is not None and not os.environ.get("GFS3D_NO_PACKED"):
-        pcd_mm, lbl_mm, lut = packed()
+    if packed is not None and not env_flag("GFS3D_NO_PACKED"):
+        try:
+            pcd_mm, lbl_mm, lut = packed()
+        except OSError as e:
+            # e.g. a read-only dataset mount where the cache cannot be
+            # built — stream the per-block pickles instead
+            import logging
+            logging.getLogger(__name__).warning(
+                "packed static_test cache unavailable (%s); falling back "
+                "to the per-block pickle iterator", e)
+            packed = None
+    if packed is not None and not env_flag("GFS3D_NO_PACKED"):
         total = pcd_mm.shape[0]
         for s in range(0, total, batch_size):
             pts = np.asarray(pcd_mm[s:s + batch_size])
@@ -335,9 +357,20 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
         args_rep = replicate(args_rep, mesh)
     else:
         variables_d = variables
-    # dispatch the whole sweep asynchronously; syncing per batch would put
-    # one tunnel round-trip on the critical path of every step (measured
-    # 1817 -> 224 blocks/s/chip through the axon tunnel)
+    # dispatch asynchronously; syncing per batch would put one tunnel
+    # round-trip on the critical path of every step (measured 1817 -> 224
+    # blocks/s/chip through the axon tunnel). The in-flight window is
+    # BOUNDED so a huge test set cannot pin every transferred input batch
+    # in HBM at once: consuming a ~48-batch-old result never blocks on
+    # recent dispatches but releases its buffers.
+    cm = np.zeros((num_classes, num_classes), np.float64)
+
+    def consume(res):
+        cm_b, acc, nacc = res
+        np.add(cm, np.asarray(cm_b, np.float64), out=cm)
+        gp_acc_m.update(float(acc))
+        gp_nacc_m.update(float(nacc))
+
     results = []
     for points, labels, valid in eval_batches(val_dataset, batch_size):
         if mesh is not None:
@@ -345,11 +378,10 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
             labels = shard_batch(labels, mesh)
         results.append(eval_step(variables_d, points, labels, *args_rep,
                                  jnp.int32(valid)))
-    cm = np.zeros((num_classes, num_classes), np.float64)
-    for cm_b, acc, nacc in results:
-        cm += np.asarray(cm_b, np.float64)
-        gp_acc_m.update(float(acc))
-        gp_nacc_m.update(float(nacc))
+        if len(results) > 48:
+            consume(results.pop(0))
+    for res in results:
+        consume(res)
     mean_iou, base_iou, novel_iou, hm, iou_list = gfs_miou(
         cm, all_learning_order, novel_class_names, scannet=scannet)
     if logger:
@@ -378,7 +410,15 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
         args_rep = replicate(args_rep, mesh)
     else:
         variables_d = variables
-    # async dispatch, one host sync at the end (see validate())
+    # bounded async dispatch (see validate())
+    cm = np.zeros((n_seeds, num_classes, num_classes), np.float64)
+
+    def consume(res):
+        cm_b, acc, nacc = res
+        np.add(cm, np.asarray(cm_b, np.float64), out=cm)
+        gp_acc_m.update(float(np.mean(np.asarray(acc))))
+        gp_nacc_m.update(float(np.mean(np.asarray(nacc))))
+
     results = []
     for points, labels, valid in eval_batches(val_dataset, batch_size):
         if mesh is not None:
@@ -386,11 +426,10 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
             labels = shard_batch(labels, mesh)
         results.append(eval_step(variables_d, points, labels, *args_rep,
                                  jnp.int32(valid)))
-    cm = np.zeros((n_seeds, num_classes, num_classes), np.float64)
-    for cm_b, acc, nacc in results:
-        cm += np.asarray(cm_b, np.float64)
-        gp_acc_m.update(float(np.mean(np.asarray(acc))))
-        gp_nacc_m.update(float(np.mean(np.asarray(nacc))))
+        if len(results) > 48:
+            consume(results.pop(0))
+    for res in results:
+        consume(res)
     if logger:
         logger.cprint(f"---------- gp acc: {gp_acc_m.avg:.4f}, "
                       f"gp_novel_acc: {gp_nacc_m.avg:.4f} ----------")
@@ -404,18 +443,24 @@ def load_base_coding(save_path: str, energy: float,
                      ) -> Optional[np.ndarray]:
     """Locate a saved base-class coding artifact.
 
-    Our .npz is preferred; the reference's torch artifact
-    `base_class_gp_coding_energy={e}.pth` (train.py:466-467) is accepted as
-    a fallback so converted reference checkpoints evaluate with the
-    reference's own codings instead of silently recomputing. Searches
-    `save_path` first, then `extra_dirs` (e.g. the checkpoint's directory).
-    Returns None if no artifact exists.
+    The reference's torch artifact `base_class_gp_coding_energy={e}.pth`
+    (train.py:466-467) is accepted alongside our .npz so converted
+    reference checkpoints evaluate with the reference's own codings
+    instead of silently recomputing. The search is DIRECTORY-major:
+    `extra_dirs` (e.g. the checkpoint's directory, whose artifact belongs
+    to the weights being evaluated) take priority over `save_path`, so a
+    stale recomputed .npz in a reused save_path cannot shadow the artifact
+    shipped next to the checkpoint; within a directory .npz wins over
+    .pth. Returns None if no artifact exists.
     """
-    dirs = [save_path] + [d for d in extra_dirs if d]
-    for ext in (".npz", ".pth"):
-        name = f"base_class_gp_coding_energy={energy}{ext}"
-        for d in dirs:
-            path = os.path.join(d, name)
+    dirs = []
+    for d in list(extra_dirs) + [save_path]:
+        if d and d not in dirs:
+            dirs.append(d)
+    for d in dirs:
+        for ext in (".npz", ".pth"):
+            path = os.path.join(
+                d, f"base_class_gp_coding_energy={energy}{ext}")
             if not os.path.exists(path):
                 continue
             if ext == ".npz":

@@ -111,7 +111,8 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                 variables_d = variables_now
             else:
                 variables_d = variables_now
-            # async dispatch, one host sync at the end (see gfs.validate)
+            # bounded async dispatch (see gfs.validate)
+            cm = np.zeros((num_classes, num_classes), np.float64)
             results = []
             for batch in batch_iterator(valid_ds, pretrain_cfg.batch_size,
                                         pad_final=True):
@@ -122,9 +123,11 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                     labels = shard_batch(labels, mesh)
                 results.append(eval_step(variables_d, points, labels,
                                          jnp.int32(valid)))
-            cm = np.zeros((num_classes, num_classes), np.float64)
+                if len(results) > 48:
+                    np.add(cm, np.asarray(results.pop(0), np.float64),
+                           out=cm)
             for r in results:
-                cm += np.asarray(r, np.float64)
+                np.add(cm, np.asarray(r, np.float64), out=cm)
             oa, miou, _ = overall_accuracy_and_miou(cm)
             logger.cprint(f"===== EPOCH [{epoch}]: Accuracy: {oa:.6f} | "
                           f"mIoU: {miou:.6f} =====")

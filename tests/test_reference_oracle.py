@@ -63,13 +63,16 @@ class DummyLogger:
 
 @pytest.fixture(scope="module")
 def reference_modules():
-    """Import the reference's torch modules, CPU-proofed."""
+    """Import the reference's torch modules, CPU-proofed (and restore the
+    patched `.cuda` after this module so the rest of the session keeps
+    real torch semantics)."""
     import os
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference tree not available")
     # capl.py:398 hard-codes `.cuda()` inside generate_fake_proto; make it a
     # no-op so the train branch runs on CPU (the classes are otherwise
     # device-agnostic — only the reference drivers call .cuda()).
+    orig_cuda = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
     sys.path.insert(0, REFERENCE_ROOT)
     try:
@@ -77,7 +80,8 @@ def reference_modules():
         import runs.eval as ref_eval
     finally:
         sys.path.remove(REFERENCE_ROOT)
-    return ref_capl, ref_eval
+    yield ref_capl, ref_eval
+    torch.Tensor.cuda = orig_cuda
 
 
 def _randomized_variables(seed=0):
