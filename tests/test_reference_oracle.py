@@ -20,6 +20,10 @@ them on CPU torch, and assert our framework agrees on identical inputs:
       collect_base_class_gp_coding_sum incl. the in-place energy
       thresholding) vs pipelines.gfs.collect_base_codings — EXACT
       multi-hot equality on identical blocks.
+  (f) novel-prototype registration (train.py:240-305,
+      get_new_proto_Geo2SemProto + collect_new_clsss_gp_coding_sum) vs
+      register_novel_protos — prototypes to fp tolerance, novel codings
+      EXACT.
 
 With these in place, mIoU parity with the reference (BASELINE.md north
 star, +-0.5pt) is reduced to data availability alone — every compute stage
@@ -285,6 +289,28 @@ class TestMetricOracle:
                                    np.asarray(ours_m[4]), rtol=1e-9)
 
 
+def _load_ref_train(monkeypatch):
+    """Import the reference's train.py as a module.
+
+    Its import chain pulls dataloaders/loader.py which imports transforms3d
+    (not installed here; the functions under test never use it) — stubbed.
+    argparse runs only under __main__ (train.py:733), so module import is
+    side-effect-safe."""
+    import importlib.util as ilu
+
+    monkeypatch.setitem(sys.modules, "transforms3d",
+                        types.ModuleType("transforms3d"))
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        s = ilu.spec_from_file_location(
+            "_ref_train", REFERENCE_ROOT + "/train.py")
+        ref_train = ilu.module_from_spec(s)
+        s.loader.exec_module(ref_train)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return ref_train
+
+
 class TestFgFeatOracle:
     """Support-shot foreground features (reference capl.py:71-88,
     Get_Fg_Feat) vs the batched GWCAPL.get_fg_feat: per-shot foreground
@@ -337,24 +363,7 @@ class TestCodingCollectionOracle:
 
     def test_codings_match(self, reference_modules, paired_models,
                            monkeypatch):
-        import importlib.util as ilu
-
-        # train.py's import chain pulls dataloaders/loader.py which imports
-        # transforms3d (not installed here; the coding function never uses
-        # it) — stub it for the import
-        monkeypatch.setitem(sys.modules, "transforms3d",
-                            types.ModuleType("transforms3d"))
-        # argparse in train.py runs only under __main__ (train.py:733);
-        # module import is side-effect-safe
-        sys.path.insert(0, REFERENCE_ROOT)
-        try:
-            s = ilu.spec_from_file_location(
-                "_ref_train", REFERENCE_ROOT + "/train.py")
-            ref_train = ilu.module_from_spec(s)
-            s.loader.exec_module(ref_train)
-        finally:
-            sys.path.remove(REFERENCE_ROOT)
-
+        ref_train = _load_ref_train(monkeypatch)
         model, variables, ref, gp = paired_models
         monkeypatch.setenv("GFS3D_NO_NATIVE", "1")
 
@@ -381,3 +390,47 @@ class TestCodingCollectionOracle:
 
         np.testing.assert_array_equal(t_coding.numpy(), j_coding)
         np.testing.assert_allclose(t_bg.numpy(), j_bg, rtol=2e-3, atol=2e-3)
+
+
+class TestRegistrationOracle:
+    """Novel-prototype registration (reference train.py:240-305,
+    get_new_proto_Geo2SemProto + collect_new_clsss_gp_coding_sum) vs
+    pipelines.gfs.register_novel_protos on identical support shots."""
+
+    def test_registration_matches(self, reference_modules, paired_models,
+                                  monkeypatch):
+        ref_train = _load_ref_train(monkeypatch)
+        model, variables, ref, gp = paired_models
+        # the reference function reads train.py module globals
+        ref_train.logger = DummyLogger()
+        ref_train.args = types.SimpleNamespace(total_classes=CLASSES)
+
+        novel = list(range(BASE_NUM, CLASSES))
+        k_shot = 2
+        gen = np.random.default_rng(61)
+        shots = []
+        for cls in novel:
+            for _ in range(k_shot):
+                x = gen.standard_normal((N, CIN)).astype(np.float32)
+                mask = (gen.random(N) > 0.5).astype(np.int64)
+                mask[0] = 1  # guarantee foreground
+                shots.append((x, mask, cls))
+
+        loader = [(torch.from_numpy(x.T[None]),
+                   torch.from_numpy(mask[None]),
+                   torch.tensor([cls])) for x, mask, cls in shots]
+        with torch.no_grad():
+            t_gened, t_coding = ref_train.get_new_proto_Geo2SemProto(
+                loader, ref, base_num=BASE_NUM, novel_num=len(novel),
+                novel_class_list=novel, energy=0.9)
+
+        from gfs3dseg_gws_tpu.pipelines.gfs import register_novel_protos
+        supp = [(x, mask.astype(np.float32), cls) for x, mask, cls in shots]
+        main_proto = np.asarray(variables["params"]["main_proto"])
+        j_gened, j_coding = register_novel_protos(
+            model, variables, jnp.asarray(gp), supp, main_proto, BASE_NUM,
+            novel, energy=0.9)
+
+        np.testing.assert_allclose(t_gened.numpy(), j_gened, rtol=2e-3,
+                                   atol=2e-3)
+        np.testing.assert_array_equal(t_coding.numpy(), j_coding)
