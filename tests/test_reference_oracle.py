@@ -434,3 +434,57 @@ class TestRegistrationOracle:
         np.testing.assert_allclose(t_gened.numpy(), j_gened, rtol=2e-3,
                                    atol=2e-3)
         np.testing.assert_array_equal(t_coding.numpy(), j_coding)
+
+
+class TestFewShotMetricOracle:
+    """Classic few-shot metric (reference pretrain/runs/eval.py:19-70,
+    evaluate_metric) vs ops/metrics.fewshot_accumulate/fewshot_miou.
+
+    The pretrain module graph imports faiss (not installed), so the pure-
+    numpy function under test is extracted by AST and executed standalone
+    — still the reference's own code, never re-implemented here."""
+
+    @staticmethod
+    def _load_evaluate_metric():
+        import ast
+        src = open(REFERENCE_ROOT + "/pretrain/runs/eval.py").read()
+        tree = ast.parse(src)
+        fn = next(n for n in tree.body
+                  if isinstance(n, ast.FunctionDef)
+                  and n.name == "evaluate_metric")
+        ns = {"np": np}
+        exec(compile(ast.Module(body=[fn], type_ignores=[]),
+                     "<reference pretrain/runs/eval.py>", "exec"), ns)
+        return ns["evaluate_metric"]
+
+    def test_fewshot_metric_matches(self):
+        from gfs3dseg_gws_tpu.ops.metrics import (
+            confusion_matrix,
+            fewshot_accumulate,
+            fewshot_miou,
+        )
+
+        ref_metric = self._load_evaluate_metric()
+        gen = np.random.default_rng(71)
+        test_classes = [3, 5, 8, 11]
+        n_way, n_episodes = 2, 4
+        # fixed way-draws covering every test class (the reference divides
+        # by zero for classes that never appear — matching that would make
+        # the comparison vacuous)
+        draws = [(3, 5), (8, 11), (3, 8), (5, 11)]
+        preds, gts, l2c = [], [], []
+        for d in draws[:n_episodes]:
+            preds.append(gen.integers(0, n_way + 1, (n_way, 128)))
+            gts.append(gen.integers(0, n_way + 1, (n_way, 128)))
+            l2c.append(np.asarray(d))
+
+        ref_miou = ref_metric(DummyLogger(), preds, gts, l2c, test_classes)
+
+        cm = np.zeros((len(test_classes) + 1, len(test_classes) + 1))
+        for p, g, lc in zip(preds, gts, l2c):
+            ep = np.asarray(confusion_matrix(
+                jnp.asarray(p.astype(np.int32)),
+                jnp.asarray(g.astype(np.int32)), n_way + 1))
+            fewshot_accumulate(cm, ep, [int(c) for c in lc], test_classes)
+        ours_miou, _ = fewshot_miou(cm)
+        np.testing.assert_allclose(ref_miou, ours_miou, rtol=1e-9)
