@@ -24,6 +24,10 @@ them on CPU torch, and assert our framework agrees on identical inputs:
       get_new_proto_Geo2SemProto + collect_new_clsss_gp_coding_sum) vs
       register_novel_protos — prototypes to fp tolerance, novel codings
       EXACT.
+  (g) the classic few-shot metric (pretrain/runs/eval.py:19-70).
+  (h) the ProtoNet baseline forward (pretrain/models/protonet.py:38-163),
+      cosine AND euclidean (with torch-1.8 pairwise_distance semantics
+      restored — the reference's euclidean branch is broken on torch 2.x).
 
 With these in place, mIoU parity with the reference (BASELINE.md north
 star, +-0.5pt) is reduced to data availability alone — every compute stage
@@ -488,3 +492,88 @@ class TestFewShotMetricOracle:
             fewshot_accumulate(cm, ep, [int(c) for c in lc], test_classes)
         ours_miou, _ = fewshot_miou(cm)
         np.testing.assert_allclose(ref_miou, ours_miou, rtol=1e-9)
+
+
+class TestProtoNetOracle:
+    """ProtoNet baseline (reference pretrain/models/protonet.py:38-163) vs
+    models/protonet.py on one converted weight set — query logits and CE
+    loss for both distance methods."""
+
+    @pytest.mark.parametrize("dist", ["cosine", "euclidean"])
+    def test_protonet_forward_matches(self, reference_modules, monkeypatch,
+                                      dist):
+        import importlib
+
+        from gfs3dseg_gws_tpu.models.protonet import ProtoNet
+        from gfs3dseg_gws_tpu.utils.checkpoint import (
+            convert_torch_attention,
+            convert_torch_base_learner,
+            convert_torch_dgcnn_encoder,
+        )
+
+        monkeypatch.syspath_prepend(REFERENCE_ROOT + "/pretrain")
+        ref_pn = importlib.import_module("models.protonet")
+
+        if dist == "euclidean":
+            # the reference targets torch 1.8, whose F.pairwise_distance
+            # reduced dim=1 (the channel dim): `norm(x1 - x2 + eps, p,
+            # dim=1)`. torch 2.x reduces the LAST dim, which breaks the
+            # reference's (q, D, N) layout — restore 1.8 semantics so the
+            # oracle computes what the reference actually computed.
+            monkeypatch.setattr(
+                ref_pn.F, "pairwise_distance",
+                lambda x1, x2, p=2.0, eps=1e-6, keepdim=False:
+                torch.norm(x1 - x2 + eps, p, dim=1, keepdim=keepdim))
+
+        n_way, k_shot, n_q, n_pts, kk = 2, 2, 2, 128, 10
+        args = types.SimpleNamespace(
+            n_way=n_way, k_shot=k_shot, dist_method=dist, pc_in_dim=CIN,
+            pc_npts=n_pts, use_attention=True,
+            edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
+            dgcnn_mlp_widths=list(MLP_WIDTHS), dgcnn_k=kk,
+            base_widths=list(BASE_WIDTHS), output_dim=OUTPUT_DIM)
+        torch.manual_seed(5)
+        ref = ref_pn.ProtoNet(args)
+        ref.eval()
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                with torch.no_grad():
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.5, 1.5)
+
+        sd = ref.state_dict()
+        enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+                  if k.startswith("encoder.")}
+        enc_p, enc_s = convert_torch_dgcnn_encoder(enc_sd)
+        bl_p, bl_s = convert_torch_base_learner(sd)
+        variables = {
+            "params": {"feat": {"encoder": enc_p, "base_learner": bl_p,
+                                "att_learner": convert_torch_attention(sd)}},
+            "batch_stats": {"feat": {"encoder": enc_s,
+                                     "base_learner": bl_s}},
+        }
+
+        gen = np.random.default_rng(81)
+        sx = gen.standard_normal((n_way, k_shot, CIN, n_pts)
+                                 ).astype(np.float32)
+        sy = (gen.random((n_way, k_shot, n_pts)) > 0.5).astype(np.float32)
+        qx = gen.standard_normal((n_q, CIN, n_pts)).astype(np.float32)
+        qy = gen.integers(0, n_way + 1, (n_q, n_pts)).astype(np.int64)
+
+        with torch.no_grad():
+            t_pred, t_loss = ref(torch.from_numpy(sx),
+                                 torch.from_numpy(sy),
+                                 torch.from_numpy(qx),
+                                 torch.from_numpy(qy))
+
+        model = ProtoNet(n_way=n_way, k_shot=k_shot, dist_method=dist,
+                         k=kk, use_pallas=False)
+        j_pred, j_loss = model.apply(
+            variables, jnp.asarray(sx.transpose(0, 1, 3, 2)),
+            jnp.asarray(sy), jnp.asarray(qx.transpose(0, 2, 1)),
+            jnp.asarray(qy.astype(np.int32)))
+
+        np.testing.assert_allclose(
+            t_pred.numpy().transpose(0, 2, 1), np.asarray(j_pred),
+            rtol=3e-3, atol=3e-3)
+        np.testing.assert_allclose(float(t_loss), float(j_loss), rtol=1e-3)
