@@ -28,6 +28,9 @@ them on CPU torch, and assert our framework agrees on identical inputs:
   (h) the ProtoNet baseline forward (pretrain/models/protonet.py:38-163),
       cosine AND euclidean (with torch-1.8 pairwise_distance semantics
       restored — the reference's euclidean branch is broken on torch 2.x).
+  (i) the pre-training segmentor (pretrain/runs/pre_train.py:22-48
+      DGCNNSeg) + a strict load of our exported checkpoint.tar into the
+      reference's own encoder.
 
 With these in place, mIoU parity with the reference (BASELINE.md north
 star, +-0.5pt) is reduced to data availability alone — every compute stage
@@ -577,3 +580,79 @@ class TestProtoNetOracle:
             t_pred.numpy().transpose(0, 2, 1), np.asarray(j_pred),
             rtol=3e-3, atol=3e-3)
         np.testing.assert_allclose(float(t_loss), float(j_loss), rtol=1e-3)
+
+
+class TestPretrainSegOracle:
+    """Backbone pre-training segmentor (reference pretrain/runs/
+    pre_train.py:22-48 DGCNNSeg) vs models/dgcnnseg.py, plus a STRICT
+    load of our exported checkpoint.tar into the reference's own encoder
+    (the consumer of save_pretrain_checkpoint artifacts)."""
+
+    def test_forward_matches_and_tar_strict_loads(self, reference_modules,
+                                                  monkeypatch,
+                                                  tmp_path):
+        import importlib.util as ilu
+
+        from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
+        from gfs3dseg_gws_tpu.parallel import jit_init
+        from gfs3dseg_gws_tpu.utils.checkpoint import (
+            convert_torch_dgcnn_encoder,
+            convert_torch_segmenter,
+            save_torch_pretrain_checkpoint,
+        )
+
+        monkeypatch.setitem(sys.modules, "transforms3d",
+                            types.ModuleType("transforms3d"))
+        monkeypatch.syspath_prepend(REFERENCE_ROOT + "/pretrain")
+        s = ilu.spec_from_file_location(
+            "_ref_pre_train", REFERENCE_ROOT + "/pretrain/runs/pre_train.py")
+        ref_pt = ilu.module_from_spec(s)
+        s.loader.exec_module(ref_pt)
+
+        n_cls, n_pts, kk = 8, 128, 10
+        args = types.SimpleNamespace(
+            edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
+            dgcnn_mlp_widths=list(MLP_WIDTHS), pc_in_dim=CIN, dgcnn_k=kk)
+        torch.manual_seed(6)
+        ref = ref_pt.DGCNNSeg(args, n_cls)
+        ref.eval()
+        for m in ref.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                with torch.no_grad():
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.5, 1.5)
+
+        sd = ref.state_dict()
+        enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+                  if k.startswith("encoder.")}
+        enc_p, enc_s = convert_torch_dgcnn_encoder(enc_sd)
+        seg_p, seg_s = convert_torch_segmenter(sd)
+        variables = {"params": {"encoder": enc_p, "segmenter": seg_p},
+                     "batch_stats": {"encoder": enc_s,
+                                     "segmenter": seg_s}}
+
+        gen = np.random.default_rng(91)
+        x = gen.standard_normal((2, CIN, n_pts)).astype(np.float32)
+        with torch.no_grad():
+            t_logits = ref(torch.from_numpy(x))
+
+        model = DGCNNSeg(num_classes=n_cls, k=kk, use_pallas=False)
+        j_logits = model.apply(variables,
+                               jnp.asarray(x.transpose(0, 2, 1)), False)
+        np.testing.assert_allclose(t_logits.numpy().transpose(0, 2, 1),
+                                   np.asarray(j_logits), rtol=3e-3,
+                                   atol=3e-3)
+
+        # our exported checkpoint.tar must STRICT-load into the reference's
+        # own encoder (the format's real consumer, checkpoint_util.py:9-18)
+        out_dir = str(tmp_path / "tar")
+        save_torch_pretrain_checkpoint(enc_p, enc_s, out_dir)
+        params = torch.load(out_dir + "/checkpoint.tar",
+                            map_location="cpu", weights_only=True)["params"]
+        missing, unexpected = ref.encoder.load_state_dict(params,
+                                                          strict=False)
+        assert not missing and not unexpected, (missing, unexpected)
+        with torch.no_grad():
+            t_logits2 = ref(torch.from_numpy(x))
+        np.testing.assert_allclose(t_logits2.numpy(), t_logits.numpy(),
+                                   atol=1e-6)
