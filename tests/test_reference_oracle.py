@@ -31,6 +31,8 @@ them on CPU torch, and assert our framework agrees on identical inputs:
   (i) the pre-training segmentor (pretrain/runs/pre_train.py:22-48
       DGCNNSeg) + a strict load of our exported checkpoint.tar into the
       reference's own encoder.
+  (j) MPTI's kNN-graph affinity and closed-form label propagation
+      (pretrain/models/mpti.py:229-292), with a numpy faiss shim.
 
 With these in place, mIoU parity with the reference (BASELINE.md north
 star, +-0.5pt) is reduced to data availability alone — every compute stage
@@ -656,3 +658,79 @@ class TestPretrainSegOracle:
             t_logits2 = ref(torch.from_numpy(x))
         np.testing.assert_allclose(t_logits2.numpy(), t_logits.numpy(),
                                    atol=1e-6)
+
+
+class TestMPTIGraphOracle:
+    """MPTI graph construction + label propagation (reference
+    pretrain/models/mpti.py:229-292) vs ops/linalg.py.
+
+    The module imports faiss and torch_cluster (absent here), so the two
+    self-contained methods are AST-extracted and executed with (1) a
+    numpy IndexFlatL2 shim reproducing faiss's exact-L2 contract and
+    (2) torch-1.8 pairwise_distance semantics (dim=1), which the
+    reference's gaussian branch relies on."""
+
+    @staticmethod
+    def _load_methods():
+        import ast
+        src = open(REFERENCE_ROOT + "/pretrain/models/mpti.py").read()
+        tree = ast.parse(src)
+        cls = next(n for n in tree.body if isinstance(n, ast.ClassDef)
+                   and n.name == "MultiPrototypeTransductiveInference")
+        fns = [n for n in cls.body if isinstance(n, ast.FunctionDef)
+               and n.name in ("calculateLocalConstrainedAffinity",
+                              "label_propagate")]
+
+        class _IndexFlatL2:
+            def __init__(self, d):
+                self.d = d
+
+            def add(self, X):
+                self.X = np.asarray(X)
+
+            def search(self, Q, k):
+                d = ((np.asarray(Q)[:, None, :] - self.X[None, :, :]) ** 2
+                     ).sum(-1)
+                idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+                return np.take_along_axis(d, idx, 1), idx
+
+        import torch.nn.functional as F_real
+        F_shim = types.SimpleNamespace(**{
+            k: getattr(F_real, k) for k in dir(F_real)
+            if not k.startswith("_")})
+        F_shim.pairwise_distance = (
+            lambda x1, x2, p=2.0, eps=1e-6, keepdim=False:
+            torch.norm(x1 - x2 + eps, p, dim=1, keepdim=keepdim))
+
+        ns = {"np": np, "torch": torch, "F": F_shim,
+              "faiss": types.SimpleNamespace(IndexFlatL2=_IndexFlatL2)}
+        exec(compile(ast.Module(body=fns, type_ignores=[]),
+                     "<reference pretrain/models/mpti.py>", "exec"), ns)
+        return (ns["calculateLocalConstrainedAffinity"],
+                ns["label_propagate"])
+
+    def test_affinity_and_propagation_match(self, reference_modules):
+        from gfs3dseg_gws_tpu.ops.linalg import (
+            label_propagate,
+            local_constrained_affinity,
+        )
+
+        ref_affinity, ref_propagate = self._load_methods()
+        gen = np.random.default_rng(101)
+        m, d, kk, n_way = 96, 16, 10, 2
+        feat = gen.standard_normal((m, d)).astype(np.float32)
+        self_shim = types.SimpleNamespace(feat_dim=d, sigma=1.0)
+
+        t_a = ref_affinity(self_shim, torch.from_numpy(feat), k=kk,
+                           method="gaussian")
+        j_a = local_constrained_affinity(jnp.asarray(feat), kk, sigma=1.0,
+                                         method="gaussian")
+        np.testing.assert_allclose(t_a.numpy(), np.asarray(j_a), rtol=2e-4,
+                                   atol=2e-4)
+
+        y = np.zeros((m, n_way + 1), np.float32)
+        y[np.arange(m), gen.integers(0, n_way + 1, m)] = 1.0
+        t_z = ref_propagate(self_shim, t_a, torch.from_numpy(y))
+        j_z = label_propagate(j_a, jnp.asarray(y))
+        np.testing.assert_allclose(t_z.numpy(), np.asarray(j_z), rtol=2e-3,
+                                   atol=2e-3)
