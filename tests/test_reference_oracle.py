@@ -33,6 +33,8 @@ them on CPU torch, and assert our framework agrees on identical inputs:
       reference's own encoder.
   (j) MPTI's kNN-graph affinity and closed-form label propagation
       (pretrain/models/mpti.py:229-292), with a numpy faiss shim.
+  (k) geometric-word construction (get_basis.py:27-71, cluster means +
+      0.95-energy truncated SVD reconstruction).
 
 With these in place, mIoU parity with the reference (BASELINE.md north
 star, +-0.5pt) is reduced to data availability alone — every compute stage
@@ -734,3 +736,42 @@ class TestMPTIGraphOracle:
         j_z = label_propagate(j_a, jnp.asarray(y))
         np.testing.assert_allclose(t_z.numpy(), np.asarray(j_z), rtol=2e-3,
                                    atol=2e-3)
+
+
+class TestBasisOracle:
+    """Geometric-word construction (reference get_basis.py:27-71,
+    Kmean2Proto + compute_svd with 0.95-energy truncated RECONSTRUCTION)
+    vs ops/kmeans.cluster_means + ops/linalg.svd_energy_reconstruct."""
+
+    def test_cluster_means_and_svd_match(self, monkeypatch):
+        import importlib.util as ilu
+
+        from gfs3dseg_gws_tpu.ops.kmeans import cluster_means
+        from gfs3dseg_gws_tpu.ops.linalg import svd_energy_reconstruct
+
+        monkeypatch.setitem(sys.modules, "transforms3d",
+                            types.ModuleType("transforms3d"))
+        sys.path.insert(0, REFERENCE_ROOT)
+        try:
+            s = ilu.spec_from_file_location(
+                "_ref_basis", REFERENCE_ROOT + "/get_basis.py")
+            ref_basis = ilu.module_from_spec(s)
+            s.loader.exec_module(ref_basis)
+        finally:
+            sys.path.remove(REFERENCE_ROOT)
+
+        gen = np.random.default_rng(111)
+        n, d, num_cnt = 500, 24, 12
+        feats = gen.standard_normal((n, d)).astype(np.float32)
+        labels = gen.integers(0, num_cnt, n)
+        labels[:num_cnt] = np.arange(num_cnt)  # no empty cluster
+
+        t_proto = ref_basis.Kmean2Proto(feats, labels, num_cnt)
+        j_proto = cluster_means(feats, labels.astype(np.int32), num_cnt)
+        np.testing.assert_allclose(t_proto, j_proto, rtol=1e-5, atol=1e-6)
+
+        t_basis = ref_basis.compute_svd(t_proto)
+        j_basis = svd_energy_reconstruct(jnp.asarray(j_proto), energy=0.95)
+        assert t_basis.shape == j_basis.shape == (num_cnt, d)
+        np.testing.assert_allclose(t_basis, np.asarray(j_basis), rtol=2e-4,
+                                   atol=2e-4)
