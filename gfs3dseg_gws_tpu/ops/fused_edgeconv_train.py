@@ -8,35 +8,46 @@ train-mode BatchNorm) is, per block:
     z1  = h1 @ W2
     out = max_k leaky(bn2_batch(z1))
 
-The unfused path materialises the (B, N, K, C) tensor ~4x forward and again
-backward — pure HBM traffic. This module never materialises it. BatchNorm
-batch statistics need TWO global reductions (bn2's input depends on bn1's
-stats), so the op is three Pallas passes wrapped in one `custom_vjp`:
+The unfused path materialises the (B, N, K, C) edge tensor ~4x forward and
+again backward — pure HBM traffic.  BatchNorm batch statistics need TWO
+global reductions (bn2's input depends on bn1's stats), so the op is three
+Pallas passes wrapped in one `custom_vjp`:
 
-  fwd S1  stats of e0: because e0 = a_j + b_i separates, E[e0] and E[e0^2]
-          need only the neighbour-sums sum_k a[idx] and sum_k a^2[idx] —
-          ONE multi-hot MXU matmul (the count matrix row for a query is the
-          sum of its k one-hots) against the 2C-wide table [a | a*a].
-  fwd SF  per k-round one-hot gather -> h1 -> z1 = h1 @ W2, accumulating
-          sum(h1), h1^T h1 (bn2 stats via E[(h1 W2)^2] = diag(W2^T E[h1h1^T]
-          W2)) and running max_k/min_k z1 with arg slots. bn2+leaky is
-          monotone per channel (the sign of gamma2*inv2 picks max vs min),
-          so the block output is an XLA epilogue on (B, N, W1).
-  bwd B   ONE pass: recompute rounds, accumulate dW2 = sum h1^T dz1, the
-          bn1-backward reductions sum(dy1) / sum(dy1*yhat1), the per-point
-          sum_k(G1*dy1), the in-degree counts, and the MXU scatter
-          onehot^T @ [G1*dy1 | yhat1] (2C-wide = one 128-lane matmul).
-          da/db then assemble in XLA from closed-form batch-stat
-          corrections:
+  fwd G   the ONLY one-hot gather: per k-round one-hot rows against the
+          2C-wide table [a | a*a] (a full 128-lane MXU output — a 64-wide
+          gather runs at half MXU width).  Emits the gathered neighbour
+          features nbr = a[idx] (B, K, N, C) as an HBM residual (~170 MB,
+          ~0.2 ms of HBM traffic at production shapes — cheaper than ONE
+          repeated gather) and the per-query sums sum_k a[idx] /
+          sum_k a^2[idx] that determine the e0 batch stats (e0 = a_j + b_i
+          separates, so E[e0] / E[e0^2] need only these).
+  fwd SF  gather-free: reads nbr back, computes h1 -> z1 = h1 @ W2,
+          accumulating sum(h1), h1^T h1 (bn2 stats via E[(h1 W2)^2] =
+          diag(W2^T E[h1h1^T] W2)) and running max_k/min_k z1 with arg
+          slots.  bn2+leaky is monotone per channel (the sign of
+          gamma2*inv2 picks max vs min), so the block output is an XLA
+          epilogue on (B, N, W1).
+  bwd B   gather-free: reads nbr back, recomputes h1/z1 per round
+          (cheap (G*TQ, C) elementwise + narrow matmuls), accumulates
+          dW2 = sum h1^T dz1, the bn1-backward reductions sum(dy1) /
+          sum(dy1*yhat1), the per-point sum_k(G1*dy1), the in-degree
+          counts, and the scatter onehot^T @ [G1*dy1 | yhat1] (2C-wide =
+          one 128-lane matmul).  The TRANSPOSED one-hot (N, G*TQ) is built
+          directly from a sublane-iota compare, so the scatter matmul
+          needs no MXU-side operand transpose.  da/db then assemble in
+          XLA from closed-form batch-stat corrections:
             da_j = S_j − (G1 D1)·cnt_j − (G1 D2)·Y_j
             db_i = P_i − K·(G1 D1) − (G1 D2)·inv1·(s_i + K b_i − K mu1)
           with D1 = E[dy1], D2 = E[dy1 yhat1], S/Y the scatter halves,
           P the per-point sum, s the forward neighbour-sum.
 
-MXU efficiency: a single 20-round loop of (TQ, N)x(N, 64) matmuls runs at
-~35% of bf16 peak (narrow output). All passes therefore STACK `stack`
-rounds into one deep matmul — one (G*TQ, N)x(N, C) gather and one
-(N, G*TQ)x(G*TQ, 2C) scatter per chunk.
+History: round 2 ran a one-hot gather in all three passes (64-wide = half
+MXU width) plus a separate multi-hot stats pass; measured at
+(16, 2048, 64, K=20) that cost gs 0.85 + sf 2.31 + bwd 4.51 = 7.7 ms per
+layer.  The gather-once restructure above removes two of the three big
+matmul chains (bench numbers in docs/ARCHITECTURE.md).  Matmul passes
+STACK `stack` rounds into one deep matmul — 20 separate narrow
+(TQ, N)x(N, C) matmuls run at ~35% of bf16 peak.
 
 Gradients THROUGH the batch statistics are exact (standard BN backward);
 deviations from the unfused XLA path are the documented kernel numerics:
@@ -98,52 +109,88 @@ def _stack_rows(x, g):
     return jnp.concatenate([x] * g, axis=0) if g > 1 else x
 
 
+def _nbr_chunk(nbr_ref, base, g, tq, c):
+    """Rounds base..base+g of the (1, K, TQ, C) nbr block as (g*TQ, C)."""
+    if g == 1:
+        return nbr_ref[0, base]
+    return nbr_ref[0, base:base + g].reshape(g * tq, c)
+
+
 # ---------------------------------------------------------------------------
-# forward pass S1: multi-hot neighbour-sum for the e0 batch stats
+# forward pass G: the one gather — nbr residual + e0-stat neighbour sums
 # ---------------------------------------------------------------------------
 
 
-def _gs_kernel(tbl_ref, idxt_ref, out_ref, *, k: int, n: int, dt):
+def _g2_kernel(tbl_ref, idxt_ref, nbr_ref, gs_ref, cnt_ref, *, k: int,
+               n: int, stack: int, dt):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
+
     idxt = idxt_ref[0]                                            # (K, TQ)
+    tbl = tbl_ref[0].astype(dt)                                   # (N, 2C)
+    c = tbl.shape[1] // 2
     tq = idxt.shape[1]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
-    multihot = jnp.zeros((tq, n), jnp.float32)
-    for kk in range(k):
-        row = _idx_row(idxt, kk)
-        multihot = multihot + (iota_n == row[:, None]).astype(jnp.float32)
-    # counts <= K are exact in bf16
-    out_ref[0] = jnp.dot(multihot.astype(dt), tbl_ref[0].astype(dt),
-                         preferred_element_type=jnp.float32)
+    acc = jnp.zeros((tq, 2 * c), jnp.float32)
+    for base in range(0, k, stack):
+        oh = _stacked_onehot(idxt, base, stack, n, dt)            # (G*TQ, N)
+        g2 = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        # in-degree counts ride here (input-only, reused by the backward):
+        # the VPU row-sum hides under the MXU gather matmuls
+        cnt_ref[0] = cnt_ref[0] + jnp.sum(oh.astype(jnp.float32), axis=0,
+                                          keepdims=True)
+        for u in range(stack):
+            piece = jax.lax.slice_in_dim(g2, u * tq, (u + 1) * tq, axis=0)
+            acc = acc + piece
+            # each nbr element is exactly ONE bf16 table entry (one-hot row
+            # against the bf16-cast table), so bf16 storage is LOSSLESS and
+            # halves the residual's HBM traffic
+            nbr_ref[0, base + u] = piece[:, :c].astype(dt)
+    gs_ref[0] = acc
 
 
-def _gs_pallas(tbl, idxt, k, tile_q, dt):
+def _g2_pallas(tbl, idxt, k, tile_q, stack, dt):
     bsz, n, c2 = tbl.shape
-    kern = functools.partial(_gs_kernel, k=k, n=n, dt=dt)
+    c = c2 // 2
+    kern = functools.partial(_g2_kernel, k=k, n=n, stack=stack, dt=dt)
     return pl.pallas_call(
         kern,
         grid=(bsz, n // tile_q),
         in_specs=[
             pl.BlockSpec((1, n, c2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, idxt.shape[1], tile_q), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, k, tile_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_q, c2), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, k, tile_q, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, k, n, c), dt),             # nbr
+            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),      # sums
+            jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),       # in-degree
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tbl, idxt)
 
 
 # ---------------------------------------------------------------------------
-# forward pass SF: max/min_k z1 + bn2-stat reductions
+# forward pass SF: max/min_k z1 + bn2-stat reductions (gather-free)
 # ---------------------------------------------------------------------------
 
 
-def _sf_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref,
+def _sf_kernel(nbr_ref, b_ref, p1_ref, w2_ref,
                zmax_ref, zmin_ref, kmax_ref, kmin_ref, sumh1_ref, gram_ref,
-               *, k: int, n: int, stack: int, slope: float, dt):
+               *, k: int, stack: int, slope: float, dt):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -152,13 +199,11 @@ def _sf_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref,
         sumh1_ref[:] = jnp.zeros_like(sumh1_ref[:])
         gram_ref[:] = jnp.zeros_like(gram_ref[:])
 
-    a_all = a_ref[0].astype(dt)                                   # (N, C)
     b_tile = b_ref[0].astype(jnp.float32)                         # (TQ, C)
-    idxt = idxt_ref[0]                                            # (K, TQ)
     s1 = p1_ref[0:1, :]
     t1 = p1_ref[1:2, :]
     w2 = w2_ref[:].astype(dt)
-    tq = b_tile.shape[0]
+    tq, c = b_tile.shape
     b_stack = _stack_rows(b_tile, stack)
 
     zmax_ref[0] = jnp.full_like(zmax_ref[0], -jnp.inf)
@@ -167,8 +212,7 @@ def _sf_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref,
     kmin_ref[0] = jnp.zeros_like(kmin_ref[0])
 
     for base in range(0, k, stack):
-        oh = _stacked_onehot(idxt, base, stack, n, dt)            # (G*TQ, N)
-        nbr = jnp.dot(oh, a_all, preferred_element_type=jnp.float32)
+        nbr = _nbr_chunk(nbr_ref, base, stack, tq, c)             # (G*TQ, C)
         pre1 = (nbr + b_stack) * s1 + t1
         h1 = jnp.where(pre1 >= 0, pre1, slope * pre1)
         h1b = h1.astype(dt)
@@ -187,11 +231,11 @@ def _sf_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref,
             kmin_ref[0] = jnp.where(dn, base + u, kmin_ref[0])
 
 
-def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, stack, dt):
-    bsz, n, c = a.shape
+def _sf_pallas(nbr, b, s1, t1, w2, k, tile_q, slope, stack, dt):
+    bsz, n, c = b.shape
     w1 = w2.shape[1]
     p1 = jnp.stack([s1, t1])                                      # (2, C)
-    kern = functools.partial(_sf_kernel, k=k, n=n, stack=stack, slope=slope,
+    kern = functools.partial(_sf_kernel, k=k, stack=stack, slope=slope,
                              dt=dt)
     grid = (bsz, n // tile_q)
     out_shapes = (
@@ -211,11 +255,9 @@ def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, stack, dt):
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, k, tile_q, c), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -230,17 +272,17 @@ def _sf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, stack, dt):
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(a, b, idxt, p1, w2)
+    )(nbr, b, p1, w2)
 
 
 # ---------------------------------------------------------------------------
-# merged backward pass
+# merged backward pass (gather-free; direct-transposed one-hot scatter)
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
-                pk_ref, scat_ref, psum_ref, cnt_ref, dw2_ref, sums_ref,
-                *, k: int, n: int, stack: int, slope: float, dt):
+def _bwd_kernel(nbr_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
+                pk_ref, scat_ref, psum_ref, dw2_ref, sums_ref,
+                oht_ref, *, k: int, n: int, stack: int, slope: float, dt):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -252,9 +294,7 @@ def _bwd_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
     @pl.when(j == 0)
     def _():
         scat_ref[0] = jnp.zeros_like(scat_ref[0])
-        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
 
-    a_all = a_ref[0].astype(dt)
     b_tile = b_ref[0].astype(jnp.float32)
     idxt = idxt_ref[0]
     s1 = p1_ref[0:1, :]
@@ -266,15 +306,14 @@ def _bwd_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
     gsel = gsel_ref[0]                                            # (TQ, W1)
     ksel = ksel_ref[0]
     pk = pk_ref[:]
-    tq = b_tile.shape[0]
-    c = b_tile.shape[1]
+    tq, c = b_tile.shape
     b_stack = _stack_rows(b_tile, stack)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (n, tq), 0)
 
     psum_ref[0] = jnp.zeros_like(psum_ref[0])
 
     for base in range(0, k, stack):
-        oh = _stacked_onehot(idxt, base, stack, n, dt)            # (G*TQ, N)
-        nbr = jnp.dot(oh, a_all, preferred_element_type=jnp.float32)
+        nbr = _nbr_chunk(nbr_ref, base, stack, tq, c)             # (G*TQ, C)
         e0 = nbr + b_stack
         pre1 = e0 * s1 + t1
         h1 = jnp.where(pre1 >= 0, pre1, slope * pre1)
@@ -299,20 +338,24 @@ def _bwd_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref, gsel_ref, ksel_ref,
         sums_ref[1:2, :] = sums_ref[1:2, :] + jnp.sum(dy1 * y1hat, axis=0,
                                                       keepdims=True)
         gdy1 = g1s * dy1
-        tbl = jnp.concatenate([gdy1, y1hat], axis=1)              # (G*TQ, 2C)
-        scat_ref[0] = scat_ref[0] + jax.lax.dot_general(
-            oh, tbl.astype(dt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # (N, 2C)
-        cnt_ref[0] = cnt_ref[0] + jnp.sum(oh.astype(jnp.float32), axis=0,
-                                          keepdims=True)
+        # transposed one-hot (N, G*TQ) built directly via a sublane-iota
+        # compare — the scatter matmul contracts over its lane dim with no
+        # MXU-side operand transpose
         for u in range(stack):
+            row = _idx_row(idxt, base + u)
+            oht_ref[:, u * tq:(u + 1) * tq] = (
+                iota_sub == row[None, :]).astype(dt)
             psum_ref[0] = psum_ref[0] + jax.lax.slice_in_dim(
                 gdy1, u * tq, (u + 1) * tq, axis=0)
+        tbl = jnp.concatenate([gdy1, y1hat], axis=1)              # (G*TQ, 2C)
+        scat_ref[0] = scat_ref[0] + jnp.dot(
+            oht_ref[:], tbl.astype(dt),
+            preferred_element_type=jnp.float32)                   # (N, 2C)
 
 
-def _bwd_pallas(a, b, idxt, p1, w2, gsel, ksel, pk, k, tile_q, slope,
+def _bwd_pallas(nbr, b, idxt, p1, w2, gsel, ksel, pk, k, tile_q, slope,
                 stack, dt):
-    bsz, n, c = a.shape
+    bsz, n, c = b.shape
     w1 = w2.shape[1]
     grid = (bsz, n // tile_q)
     kern = functools.partial(_bwd_kernel, k=k, n=n, stack=stack, slope=slope,
@@ -320,7 +363,7 @@ def _bwd_pallas(a, b, idxt, p1, w2, gsel, ksel, pk, k, tile_q, slope,
     return pl.pallas_call(
         kern, grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, k, tile_q, c), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -342,8 +385,6 @@ def _bwd_pallas(a, b, idxt, p1, w2, gsel, ksel, pk, k, tile_q, slope,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((c, w1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c), lambda i, j: (0, 0),
@@ -351,12 +392,12 @@ def _bwd_pallas(a, b, idxt, p1, w2, gsel, ksel, pk, k, tile_q, slope,
         out_shape=(
             jax.ShapeDtypeStruct((bsz, n, 2 * c), jnp.float32),   # scat
             jax.ShapeDtypeStruct((bsz, n, c), jnp.float32),       # psum
-            jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),       # cnt
             jax.ShapeDtypeStruct((c, w1), jnp.float32),           # dW2
             jax.ShapeDtypeStruct((2, c), jnp.float32)),           # bn1 sums
+        scratch_shapes=[pltpu.VMEM((n, stack * tile_q), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(a, b, idxt, p1, w2, gsel, ksel, pk)
+    )(nbr, b, idxt, p1, w2, gsel, ksel, pk)
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +420,8 @@ def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, stack,
     stack = _pick_unroll(k, stack)
     idxt = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)        # (B, K, N)
 
-    gs = _gs_pallas(jnp.concatenate([a, a * a], axis=-1), idxt, k, tile_q,
-                    dt)
+    nbr, gs, cnt = _g2_pallas(jnp.concatenate([a, a * a], axis=-1), idxt, k,
+                              tile_q, stack, dt)
     s_nbr, s2_nbr = gs[..., :c], gs[..., c:]
     sum_e0 = s_nbr.sum((0, 1)) + k * b.sum((0, 1))
     sum_e02 = (s2_nbr.sum((0, 1)) + 2.0 * (b * s_nbr).sum((0, 1))
@@ -390,7 +431,7 @@ def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, stack,
     s1, t1, inv1 = _affines(g1, be1, mu1, var1)
 
     zmax, zmin, kmax, kmin, sumh1, gram = _sf_pallas(
-        a, b, idxt, s1, t1, w2, k, tile_q, neg_slope, stack, dt)
+        nbr, b, s1, t1, w2, k, tile_q, neg_slope, stack, dt)
     mu2 = (sumh1[0] / e) @ w2
     ez2 = jnp.einsum("cd,ce,ed->d", w2, gram / e, w2)
     var2 = jnp.maximum(ez2 - mu2 * mu2, 0.0)
@@ -401,8 +442,9 @@ def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, stack,
     ksel = jnp.where(pos, kmax, kmin)
     pre2 = z1sel * s2a + t2
     out = jnp.where(pre2 >= 0, pre2, neg_slope * pre2)
-    return out, mu1, var1, mu2, var2, (a, b, idxt, w2, g1, g2, mu1, var1,
-                                       mu2, var2, z1sel, ksel, out, s_nbr)
+    return out, mu1, var1, mu2, var2, (nbr, b, idxt, w2, g1, g2, mu1, var1,
+                                       mu2, var2, z1sel, ksel, out, s_nbr,
+                                       cnt)
 
 
 def fused_edgeconv_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx, *,
@@ -441,10 +483,10 @@ def _vjp_fwd(a, b, gamma1, beta1, w2, gamma2, beta2, idx,
 
 
 def _vjp_bwd(neg_slope, tile_q, stack, dt, res, cts):
-    (a, b, idxt, w2, g1, g2, mu1, var1, mu2, var2, z1sel, ksel, out, s_nbr,
-     beta1) = res
+    (nbr, b, idxt, w2, g1, g2, mu1, var1, mu2, var2, z1sel, ksel, out,
+     s_nbr, cnt, beta1) = res
     gout = cts[0]  # stat cotangents (running-average side channel) ignored
-    bsz, n, c = a.shape
+    bsz, n, c = b.shape
     k = idxt.shape[1]
     e = bsz * n * k
     tq = min(tile_q, n)
@@ -464,8 +506,8 @@ def _vjp_bwd(neg_slope, tile_q, stack, dt, res, cts):
 
     p1 = jnp.stack([s1, t1, mu1, inv1, g1s])                      # (5, C)
     pk = jnp.stack([g2s, c1, c2, mu2, inv2])                      # (5, W1)
-    scat, psum, cnt, dw2, sums = _bwd_pallas(
-        a, b, idxt, p1, w2, gsel, ksel, pk, k, tq, neg_slope, stack, dt)
+    scat, psum, dw2, sums = _bwd_pallas(
+        nbr, b, idxt, p1, w2, gsel, ksel, pk, k, tq, neg_slope, stack, dt)
     dbeta1 = sums[0]
     dgamma1 = sums[1]
     d1 = sums[0] / e
@@ -476,7 +518,7 @@ def _vjp_bwd(neg_slope, tile_q, stack, dt, res, cts):
           - gd2 * scat[..., c:])
     db = (psum - k * gd1
           - gd2 * ((s_nbr + k * b - k * mu1) * inv1))
-    return (da.astype(a.dtype), db.astype(b.dtype), dgamma1, dbeta1, dw2,
+    return (da.astype(b.dtype), db.astype(b.dtype), dgamma1, dbeta1, dw2,
             dgamma2, dbeta2, None)
 
 
