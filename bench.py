@@ -23,6 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_BLOCKS_PER_SEC_PER_CHIP = 5000.0 / 8.0
+# train-step target set by the round-1 review (>600 blocks/s/chip at the
+# reference batch (16, 2048)); the reference publishes no train throughput
+TRAIN_REFERENCE_BLOCKS_PER_SEC = 600.0
 
 
 def jit_init(model, rngs, *args, **kwargs):
@@ -35,14 +38,25 @@ def jit_init(model, rngs, *args, **kwargs):
 
 def bench_train():
     """Optional: `python bench.py --train` measures the TRAINING step
-    (fwd+bwd+Adam) at the reference batch size."""
+    (fwd+bwd+Adam) at the reference batch size.
+
+    Same methodology as the eval bench: the step runs inside one jitted
+    `lax.fori_loop` carrying the TrainState (so every iteration's update
+    is live), and two iteration counts are differenced — the Python-loop
+    alternative pays ~3 ms/step of axon-tunnel dispatch that a production
+    host doesn't (measured 592 vs 675 blocks/s at (16, 2048), r3)."""
+    import functools
+
     from gfs3dseg_gws_tpu.models.capl import GWCAPL
     from gfs3dseg_gws_tpu.parallel import (
         TrainState, make_gfs_optimizer, make_gfs_train_step)
 
     b, n = 16, 2048
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        b, n = 2, 256
     model = GWCAPL(classes=13, base_num=7, num_gw=150, main_dim=128,
-                   use_pallas=jax.default_backend() == "tpu")
+                   use_pallas=on_tpu)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, n, 9))
     y = jax.random.randint(jax.random.PRNGKey(2), (b, n), 0, 8)
@@ -54,18 +68,31 @@ def bench_train():
                               tx)
     step = make_gfs_train_step(model, mesh=None, donate=False)
     state, loss, _ = step(state, x, y, gp, rng)
-    float(loss)  # sync
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss, _ = step(state, x, y, gp, rng)
-    float(loss)
-    dt = time.perf_counter() - t0
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run(iters, st):
+        def body(i, carry):
+            st_, acc = carry
+            st2, loss_, _ = step(st_, x + 0.0 * i, y, gp, rng)
+            return st2, acc + loss_
+        return jax.lax.fori_loop(0, iters, body, (st, jnp.float32(0.0)))
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        _, acc = run(iters, state)
+        float(acc)  # host transfer = true synchronization
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warmup
+    lo, hi = (2, 12) if on_tpu else (1, 3)
+    t_lo = min(timed(lo) for _ in range(3))
+    t_hi = min(timed(hi) for _ in range(3))
+    dt = (t_hi - t_lo) / (hi - lo)
     print(json.dumps({
         "metric": "gfs_train_2048pt_blocks_per_sec_per_chip",
-        "value": round(b * iters / dt, 2),
+        "value": round(b / dt, 2),
         "unit": "blocks/s/chip",
-        "vs_baseline": None,
+        "vs_baseline": round((b / dt) / TRAIN_REFERENCE_BLOCKS_PER_SEC, 3),
     }))
 
 

@@ -35,7 +35,7 @@ from gfs3dseg_gws_tpu.ops.fused_edgeconv_train import (
     fused_edgeconv_train,
     supported as fused_train_supported,
 )
-from gfs3dseg_gws_tpu.ops.knn import knn_indices
+from gfs3dseg_gws_tpu.ops.knn import knn_indices, knn_with_stats
 
 
 class _ConvBNLayer(nn.Module):
@@ -104,19 +104,27 @@ class EdgeConvBlock(nn.Module):
             return fused_edgeconv_infer(x, a_table, b_table, w2f, bias2,
                                         self.k, neg_slope=LEAKY_SLOPE)
 
-        idx = knn_indices(jax.lax.stop_gradient(x), self.k,
-                          use_pallas=self.use_pallas)        # (B, N, K)
         if (on_tpu and train and not self.is_initializing()
                 and fused_train_supported(n, self.k)):
+            a_tab = x @ wd
+            b_tab = x @ (wc - wd)
+            # the kNN kernel also emits the inputs-only neighbour stats
+            # (in-degrees + transposed b-scatter) that let the fused op
+            # compute the e0 batch stats before its single gather pass
+            idx, cnt, scb = knn_with_stats(
+                jax.lax.stop_gradient(x), jax.lax.stop_gradient(b_tab),
+                self.k, use_pallas=self.use_pallas)
             bn2 = layers[0].bn
             out, mu1, var1, mu2, var2 = fused_edgeconv_train(
-                x @ wd, x @ (wc - wd), bn1.scale, bn1.bias,
+                a_tab, b_tab, bn1.scale, bn1.bias,
                 layers[0].conv.kernel, bn2.scale, bn2.bias, idx,
-                neg_slope=LEAKY_SLOPE)
+                cnt=cnt, scb=scb, neg_slope=LEAKY_SLOPE)
             n_stats = b * n * self.k        # stats reduce over (B, N, K)
             bn1.record_batch_stats(mu1, var1, n_stats)
             bn2.record_batch_stats(mu2, var2, n_stats)
             return out
+        idx = knn_indices(jax.lax.stop_gradient(x), self.k,
+                          use_pallas=self.use_pallas)        # (B, N, K)
         h_nbr = x @ wd                                       # (B, N, w0)
         h_cen = x @ (wc - wd)                                # (B, N, w0)
         h = gather_neighbors(h_nbr, idx) + h_cen[:, :, None, :]  # (B,N,K,w0)

@@ -117,80 +117,14 @@ def _nbr_chunk(nbr_ref, base, g, tq, c):
 
 
 # ---------------------------------------------------------------------------
-# forward pass G: the one gather — nbr residual + e0-stat neighbour sums
+# forward pass GSF: the one gather + bn2 stats + max/min_k selection
 # ---------------------------------------------------------------------------
 
 
-def _g2_kernel(tbl_ref, idxt_ref, nbr_ref, gs_ref, cnt_ref, *, k: int,
-               n: int, stack: int, dt):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
-
-    idxt = idxt_ref[0]                                            # (K, TQ)
-    tbl = tbl_ref[0].astype(dt)                                   # (N, 2C)
-    c = tbl.shape[1] // 2
-    tq = idxt.shape[1]
-    acc = jnp.zeros((tq, 2 * c), jnp.float32)
-    for base in range(0, k, stack):
-        oh = _stacked_onehot(idxt, base, stack, n, dt)            # (G*TQ, N)
-        g2 = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
-        # in-degree counts ride here (input-only, reused by the backward):
-        # the VPU row-sum hides under the MXU gather matmuls
-        cnt_ref[0] = cnt_ref[0] + jnp.sum(oh.astype(jnp.float32), axis=0,
-                                          keepdims=True)
-        for u in range(stack):
-            piece = jax.lax.slice_in_dim(g2, u * tq, (u + 1) * tq, axis=0)
-            acc = acc + piece
-            # each nbr element is exactly ONE bf16 table entry (one-hot row
-            # against the bf16-cast table), so bf16 storage is LOSSLESS and
-            # halves the residual's HBM traffic
-            nbr_ref[0, base + u] = piece[:, :c].astype(dt)
-    gs_ref[0] = acc
-
-
-def _g2_pallas(tbl, idxt, k, tile_q, stack, dt):
-    bsz, n, c2 = tbl.shape
-    c = c2 // 2
-    kern = functools.partial(_g2_kernel, k=k, n=n, stack=stack, dt=dt)
-    return pl.pallas_call(
-        kern,
-        grid=(bsz, n // tile_q),
-        in_specs=[
-            pl.BlockSpec((1, n, c2), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile_q), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, k, tile_q, c), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, c2), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, k, n, c), dt),             # nbr
-            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),      # sums
-            jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),       # in-degree
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(tbl, idxt)
-
-
-# ---------------------------------------------------------------------------
-# forward pass SF: max/min_k z1 + bn2-stat reductions (gather-free)
-# ---------------------------------------------------------------------------
-
-
-def _sf_kernel(nbr_ref, b_ref, p1_ref, w2_ref,
-               zmax_ref, zmin_ref, kmax_ref, kmin_ref, sumh1_ref, gram_ref,
-               *, k: int, stack: int, slope: float, dt):
+def _gsf_kernel(a_ref, b_ref, idxt_ref, p1_ref, w2_ref,
+                nbr_ref, snbr_ref, zmax_ref, zmin_ref, kmax_ref, kmin_ref,
+                sumh1_ref, gram_ref, *, k: int, n: int, stack: int,
+                slope: float, dt):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -199,7 +133,9 @@ def _sf_kernel(nbr_ref, b_ref, p1_ref, w2_ref,
         sumh1_ref[:] = jnp.zeros_like(sumh1_ref[:])
         gram_ref[:] = jnp.zeros_like(gram_ref[:])
 
+    a_all = a_ref[0].astype(dt)                                   # (N, C)
     b_tile = b_ref[0].astype(jnp.float32)                         # (TQ, C)
+    idxt = idxt_ref[0]                                            # (K, TQ)
     s1 = p1_ref[0:1, :]
     t1 = p1_ref[1:2, :]
     w2 = w2_ref[:].astype(dt)
@@ -211,8 +147,17 @@ def _sf_kernel(nbr_ref, b_ref, p1_ref, w2_ref,
     kmax_ref[0] = jnp.zeros_like(kmax_ref[0])
     kmin_ref[0] = jnp.zeros_like(kmin_ref[0])
 
+    acc = jnp.zeros((tq, c), jnp.float32)
     for base in range(0, k, stack):
-        nbr = _nbr_chunk(nbr_ref, base, stack, tq, c)             # (G*TQ, C)
+        oh = _stacked_onehot(idxt, base, stack, n, dt)            # (G*TQ, N)
+        nbr = jnp.dot(oh, a_all, preferred_element_type=jnp.float32)
+        for u in range(stack):
+            piece = jax.lax.slice_in_dim(nbr, u * tq, (u + 1) * tq, axis=0)
+            acc = acc + piece
+            # each nbr element is exactly ONE bf16 table entry (one-hot row
+            # against the bf16-cast table), so bf16 storage is LOSSLESS and
+            # halves the residual's HBM traffic
+            nbr_ref[0, base + u] = piece.astype(dt)
         pre1 = (nbr + b_stack) * s1 + t1
         h1 = jnp.where(pre1 >= 0, pre1, slope * pre1)
         h1b = h1.astype(dt)
@@ -229,50 +174,57 @@ def _sf_kernel(nbr_ref, b_ref, p1_ref, w2_ref,
             dn = z1u < zmin_ref[0]
             zmin_ref[0] = jnp.where(dn, z1u, zmin_ref[0])
             kmin_ref[0] = jnp.where(dn, base + u, kmin_ref[0])
+    snbr_ref[0] = acc
 
 
-def _sf_pallas(nbr, b, s1, t1, w2, k, tile_q, slope, stack, dt):
-    bsz, n, c = b.shape
+def _gsf_pallas(a, b, idxt, s1, t1, w2, k, tile_q, slope, stack, dt):
+    bsz, n, c = a.shape
     w1 = w2.shape[1]
     p1 = jnp.stack([s1, t1])                                      # (2, C)
-    kern = functools.partial(_sf_kernel, k=k, stack=stack, slope=slope,
+    kern = functools.partial(_gsf_kernel, k=k, n=n, stack=stack, slope=slope,
                              dt=dt)
     grid = (bsz, n // tile_q)
-    out_shapes = (
-        jax.ShapeDtypeStruct((bsz, n, w1), jnp.float32),          # zmax
-        jax.ShapeDtypeStruct((bsz, n, w1), jnp.float32),          # zmin
-        jax.ShapeDtypeStruct((bsz, n, w1), jnp.int32),            # kmax
-        jax.ShapeDtypeStruct((bsz, n, w1), jnp.int32),            # kmin
-        jax.ShapeDtypeStruct((1, c), jnp.float32),                # sum h1
-        jax.ShapeDtypeStruct((c, c), jnp.float32),                # h1^T h1
-    )
 
-    def tile_spec(dtype=None):
-        return pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
+    def tile_spec(width):
+        return pl.BlockSpec((1, tile_q, width), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, k, tile_q, c), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
+            tile_spec(c),
+            pl.BlockSpec((1, k, tile_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, w1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(tile_spec(), tile_spec(), tile_spec(), tile_spec(),
-                   pl.BlockSpec((1, c), lambda i, j: (0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((c, c), lambda i, j: (0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=out_shapes,
+        out_specs=(
+            pl.BlockSpec((1, k, tile_q, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec(c), tile_spec(w1), tile_spec(w1), tile_spec(w1),
+            tile_spec(w1),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, k, n, c), dt),             # nbr
+            jax.ShapeDtypeStruct((bsz, n, c), jnp.float32),       # s_nbr
+            jax.ShapeDtypeStruct((bsz, n, w1), jnp.float32),      # zmax
+            jax.ShapeDtypeStruct((bsz, n, w1), jnp.float32),      # zmin
+            jax.ShapeDtypeStruct((bsz, n, w1), jnp.int32),        # kmax
+            jax.ShapeDtypeStruct((bsz, n, w1), jnp.int32),        # kmin
+            jax.ShapeDtypeStruct((1, c), jnp.float32),            # sum h1
+            jax.ShapeDtypeStruct((c, c), jnp.float32),            # h1^T h1
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(nbr, b, p1, w2)
+    )(a, b, idxt, p1, w2)
 
 
 # ---------------------------------------------------------------------------
@@ -411,8 +363,8 @@ def _affines(gamma, beta, mu, var):
     return s, beta - mu * s, inv
 
 
-def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, stack,
-              dt):
+def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, cnt, scb, neg_slope, tile_q,
+              stack, dt):
     bsz, n, c = a.shape
     k = idx.shape[-1]
     e = bsz * n * k
@@ -420,18 +372,20 @@ def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, stack,
     stack = _pick_unroll(k, stack)
     idxt = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)        # (B, K, N)
 
-    nbr, gs, cnt = _g2_pallas(jnp.concatenate([a, a * a], axis=-1), idxt, k,
-                              tile_q, stack, dt)
-    s_nbr, s2_nbr = gs[..., :c], gs[..., c:]
-    sum_e0 = s_nbr.sum((0, 1)) + k * b.sum((0, 1))
-    sum_e02 = (s2_nbr.sum((0, 1)) + 2.0 * (b * s_nbr).sum((0, 1))
+    # e0 batch stats from the inputs-only neighbour statistics — BEFORE any
+    # gather (sum_k a[idx] over everything = cnt-weighted table sum, and
+    # sum_edges a_j*b_i = sum_j a_j*scB_j), so the stats pass and the gather
+    # pass collapse into one kernel
+    sum_e0 = jnp.einsum("bn,bnc->c", cnt[:, 0], a) + k * b.sum((0, 1))
+    sum_e02 = (jnp.einsum("bn,bnc->c", cnt[:, 0], a * a)
+               + 2.0 * jnp.einsum("bnc,bnc->c", scb, a)
                + k * (b * b).sum((0, 1)))
     mu1 = sum_e0 / e
     var1 = jnp.maximum(sum_e02 / e - mu1 * mu1, 0.0)
     s1, t1, inv1 = _affines(g1, be1, mu1, var1)
 
-    zmax, zmin, kmax, kmin, sumh1, gram = _sf_pallas(
-        nbr, b, s1, t1, w2, k, tile_q, neg_slope, stack, dt)
+    nbr, s_nbr, zmax, zmin, kmax, kmin, sumh1, gram = _gsf_pallas(
+        a, b, idxt, s1, t1, w2, k, tile_q, neg_slope, stack, dt)
     mu2 = (sumh1[0] / e) @ w2
     ez2 = jnp.einsum("cd,ce,ed->d", w2, gram / e, w2)
     var2 = jnp.maximum(ez2 - mu2 * mu2, 0.0)
@@ -448,6 +402,7 @@ def _fwd_impl(a, b, g1, be1, w2, g2, be2, idx, neg_slope, tile_q, stack,
 
 
 def fused_edgeconv_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx, *,
+                         cnt=None, scb=None,
                          neg_slope: float = 0.2, tile_q: int = 256,
                          stack: int = 5, mxu_dtype=jnp.bfloat16):
     """Fused train-mode EdgeConv block.
@@ -457,28 +412,38 @@ def fused_edgeconv_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx, *,
       b:      (B, N, C) centre-term table     x @ (Wc - Wd).
       gamma1/beta1: (C,) bn1 scale/shift; w2: (C, W1); gamma2/beta2: (W1,).
       idx:    (B, N, K) int32 kNN indices.
+      cnt/scb: optional neighbour statistics from ops.knn.knn_with_stats
+        (cnt (B,1,N) in-degrees, scb (B,N,C) transposed b-scatter). Computed
+        from idx/b in XLA when omitted. Treated as inputs-only: their
+        gradient contribution is already carried by the closed-form VJP, so
+        they are stop_gradient'ed here.
     Returns:
       (out (B, N, W1), mu1, var1, mu2, var2) — the batch stats are for
       running-average updates only; their cotangents are ignored.
     """
-    return _fused_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx,
-                        neg_slope, tile_q, stack, mxu_dtype)
+    if cnt is None or scb is None:
+        from gfs3dseg_gws_tpu.ops.knn import neighbor_stats_xla
+        cnt, scb = neighbor_stats_xla(idx, b)
+    cnt = jax.lax.stop_gradient(cnt)
+    scb = jax.lax.stop_gradient(scb)
+    return _fused_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx, cnt,
+                        scb, neg_slope, tile_q, stack, mxu_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _fused_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def _fused_train(a, b, gamma1, beta1, w2, gamma2, beta2, idx, cnt, scb,
                  neg_slope, tile_q, stack, dt):
     out, mu1, var1, mu2, var2, _ = _fwd_impl(
-        a, b, gamma1, beta1, w2, gamma2, beta2, idx, neg_slope, tile_q,
-        stack, dt)
+        a, b, gamma1, beta1, w2, gamma2, beta2, idx, cnt, scb, neg_slope,
+        tile_q, stack, dt)
     return out, mu1, var1, mu2, var2
 
 
-def _vjp_fwd(a, b, gamma1, beta1, w2, gamma2, beta2, idx,
+def _vjp_fwd(a, b, gamma1, beta1, w2, gamma2, beta2, idx, cnt, scb,
              neg_slope, tile_q, stack, dt):
     out, mu1, var1, mu2, var2, res = _fwd_impl(
-        a, b, gamma1, beta1, w2, gamma2, beta2, idx, neg_slope, tile_q,
-        stack, dt)
+        a, b, gamma1, beta1, w2, gamma2, beta2, idx, cnt, scb, neg_slope,
+        tile_q, stack, dt)
     return (out, mu1, var1, mu2, var2), res + (beta1,)
 
 
@@ -519,7 +484,8 @@ def _vjp_bwd(neg_slope, tile_q, stack, dt, res, cts):
     db = (psum - k * gd1
           - gd2 * ((s_nbr + k * b - k * mu1) * inv1))
     return (da.astype(b.dtype), db.astype(b.dtype), dgamma1, dbeta1, dw2,
-            dgamma2, dbeta2, None)
+            dgamma2, dbeta2, None, jnp.zeros_like(cnt), jnp.zeros((bsz, n, c),
+                                                                  b.dtype))
 
 
 _fused_train.defvjp(_vjp_fwd, _vjp_bwd)

@@ -127,6 +127,96 @@ def _knn_kernel(x_tile_ref, x_all_ref, out_ref, keys_ref, cols_ref, *,
     out_ref[0] = cols_ref[:]
 
 
+# sorting networks (min at index 0) used by the fold-merge kernel
+_SORT_NET = {
+    2: [(0, 1)],
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    8: [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)],
+}
+
+
+def _knn_fold_kernel(x_tile_ref, x_all_ref, out_ref, f_ref, cols_ref, *,
+                     k: int, idx_bits: int, folds: int):
+    """Fold-merge tournament top-k.
+
+    The packed-key trick of `_knn_kernel`, but the (TQ, N) key tile is
+    split into `folds` lane-slices that are SORTED ACROSS FOLDS per column
+    (a 5-compare-exchange network for 4 folds), giving every column a
+    sorted list with the column minimum in fold 0.  Each extraction round
+    then only min-reduces fold 0 (N/folds lanes instead of N) and pops the
+    winning column by one cascade shift — ~2x fewer VPU ALU ops per round
+    than the full-width min-and-mask.  Exact: each pop removes the global
+    minimum of the remaining keys (every column stays sorted, so the
+    global min is always in fold 0), and packed keys are unique.
+    """
+    q = x_tile_ref[0].astype(jnp.float32)                   # (TQ, C)
+    kk = x_all_ref[0].astype(jnp.float32)                   # (N, C)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)             # (TQ, 1)
+    kk2 = jnp.sum(kk * kk, axis=-1)[None, :]                # (1, N)
+    dots = jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(qq + kk2 - 2.0 * dots, 0.0)            # (TQ, N)
+
+    m, n = d2.shape
+    w = n // folds
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    mask = (1 << idx_bits) - 1
+    keys = (pltpu.bitcast(d2, jnp.int32) & ~mask) | col
+    int_max = 2 ** 31 - 1
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+
+    fs = [keys[:, f * w:(f + 1) * w] for f in range(folds)]
+    for a_i, b_i in _SORT_NET[folds]:
+        lo = jnp.minimum(fs[a_i], fs[b_i])
+        hi = jnp.maximum(fs[a_i], fs[b_i])
+        fs[a_i], fs[b_i] = lo, hi
+    for f in range(folds):
+        f_ref[f] = fs[f]
+
+    def round_body(r, cols):
+        r0 = f_ref[0]
+        best = jnp.min(r0, axis=-1)                         # (TQ,)
+        cols = jnp.where(iota_k == r, (best & mask)[:, None], cols)
+        hit = r0 == best[:, None]
+        for f in range(folds - 1):
+            f_ref[f] = jnp.where(hit, f_ref[f + 1], f_ref[f])
+        f_ref[folds - 1] = jnp.where(hit, int_max, f_ref[folds - 1])
+        return cols
+
+    cols = cols_ref[:]
+    for r in range(k):                                      # full unroll
+        cols = round_body(r, cols)
+    out_ref[0] = cols
+
+
+def _knn_pallas_fold(x: jax.Array, k: int, tile_q: int = 512,
+                     folds: int = 4) -> jax.Array:
+    b, n, c = x.shape
+    tile_q = min(tile_q, n)
+    if n % tile_q != 0 or n < 2048 or (n // folds) % 128 != 0:
+        _warn_gate_fallback(n, tile_q)
+        return _knn_xla(x, k)
+    grid = (b, n // tile_q)
+    kern = functools.partial(_knn_fold_kernel, k=k, folds=folds,
+                             idx_bits=(n - 1).bit_length())
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, k), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((folds, tile_q, n // folds), jnp.int32),
+                        pltpu.VMEM((tile_q, k), jnp.int32)],
+    )(x, x)
+
+
 def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512,
                 unroll: int = 5) -> jax.Array:
     b, n, c = x.shape
@@ -159,6 +249,146 @@ def _knn_pallas(x: jax.Array, k: int, tile_q: int = 512,
         scratch_shapes=[pltpu.VMEM((tile_q, n), jnp.int32),
                         pltpu.VMEM((tile_q, k), jnp.int32)],
     )(x, x)
+
+
+def neighbor_stats_xla(idx: jax.Array, btab: jax.Array):
+    """In-degree counts and transposed b-scatter from a kNN graph.
+
+    cnt[b, 0, j] = |{(i, r) : idx[b, i, r] == j}|  (how many queries chose j)
+    scb[b, j, :] = sum over those (i, r) of btab[b, i, :]
+
+    Exact XLA path (scatter-add); the TPU train path gets both for ~free from
+    `knn_with_stats`, which reuses the extraction equality masks.
+    """
+    b, n, k = idx.shape
+    c = btab.shape[-1]
+    flat = idx.reshape(b, n * k)
+    cnt = jnp.zeros((b, n), btab.dtype)
+    cnt = jax.vmap(lambda cc, ii: cc.at[ii].add(1.0))(cnt, flat)
+    src = jnp.repeat(btab, k, axis=1)                       # (B, N*K, C)
+    scb = jnp.zeros((b, n, c), btab.dtype)
+    scb = jax.vmap(lambda ss, ii, vv: ss.at[ii].add(vv))(scb, flat, src)
+    return cnt[:, None, :], scb
+
+
+def _knn_stats_kernel(x_tile_ref, x_all_ref, btab_ref, out_ref, cnt_ref,
+                      scb_ref, keys_ref, cols_ref, *,
+                      k: int, unroll: int, idx_bits: int):
+    """Packed min-extraction kNN + neighbour statistics.
+
+    Identical extraction to `_knn_kernel`.  The multi-hot matrix costs ONE
+    compare at the end: extraction overwrites exactly the chosen keys with
+    INT_MAX (a value no packed key can take — it would need a NaN d^2), so
+    mh = (keys == INT_MAX) after the rounds.  It is then reduced to the
+    in-degree counts and contracted against the per-tile b rows on the
+    otherwise-idle MXU:
+        cnt_j  = sum_q mh[q, j]
+        scB_j  = sum_q mh[q, j] * b[q]   (f32 matmul — exact)
+    Both are inputs-only quantities consumed by the fused training EdgeConv
+    (they let the e0 batch stats be computed BEFORE any gather, collapsing
+    its stats pass into the gather pass).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
+        scb_ref[0] = jnp.zeros_like(scb_ref[0])
+
+    q = x_tile_ref[0].astype(jnp.float32)                   # (TQ, C)
+    kk = x_all_ref[0].astype(jnp.float32)                   # (N, C)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    kk2 = jnp.sum(kk * kk, axis=-1)[None, :]
+    dots = jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(qq + kk2 - 2.0 * dots, 0.0)            # (TQ, N)
+
+    m, n = d2.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    mask = (1 << idx_bits) - 1
+    keys_ref[:] = (pltpu.bitcast(d2, jnp.int32) & ~mask) | col
+    int_max = 2 ** 31 - 1
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+
+    def body(i, _):
+        keys = keys_ref[:]
+        cols = cols_ref[:]
+        for u in range(unroll):
+            best = jnp.min(keys, axis=-1)                   # (TQ,)
+            cols = jnp.where(iota_k == i * unroll + u,
+                             (best & mask)[:, None], cols)
+            keys = jnp.where(keys == best[:, None], int_max, keys)
+        keys_ref[:] = keys
+        cols_ref[:] = cols
+        return 0
+
+    jax.lax.fori_loop(0, k // unroll, body, 0)
+    out_ref[0] = cols_ref[:]
+    mh = (keys_ref[:] == int_max).astype(jnp.float32)       # (TQ, N)
+    cnt_ref[0] = cnt_ref[0] + jnp.sum(mh, axis=0, keepdims=True)
+    scb_ref[0] = scb_ref[0] + jax.lax.dot_general(
+        mh, btab_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (N, C)
+
+
+def _knn_stats_pallas(x: jax.Array, btab: jax.Array, k: int,
+                      tile_q: int = 512):
+    b, n, c = x.shape
+    cb = btab.shape[-1]
+    tile_q = min(tile_q, n)
+    grid = (b, n // tile_q)
+    u = k if n >= 2048 else _pick_unroll(k, 5)
+    kern = functools.partial(_knn_stats_kernel, k=k, unroll=u,
+                             idx_bits=(n - 1).bit_length())
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, cb), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_q, k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cb), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, cb), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_q, n), jnp.int32),
+                        pltpu.VMEM((tile_q, k), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, x, btab)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def knn_with_stats(x: jax.Array, btab: jax.Array, k: int = 20,
+                   use_pallas: bool = True):
+    """kNN indices + (in-degree counts, transposed b-scatter).
+
+    Same gate/fallback policy as `knn_indices`. Inputs should be
+    stop_gradient'ed by the caller — the stats are inputs-only side
+    quantities whose gradient contribution is carried in closed form by
+    the fused EdgeConv VJP.
+    Returns (idx (B,N,K) i32, cnt (B,1,N) f32, scb (B,N,C) f32).
+    """
+    b, n, c = x.shape
+    tile_q = 512
+    if (use_pallas and jax.default_backend() == "tpu"
+            and n % min(tile_q, n) == 0 and n >= 2048):
+        return _knn_stats_pallas(x, btab, k, tile_q)
+    idx = _knn_xla(x, k)
+    cnt, scb = neighbor_stats_xla(idx, btab)
+    return idx, cnt, scb
 
 
 @functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
