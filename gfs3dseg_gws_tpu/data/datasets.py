@@ -22,7 +22,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from gfs3dseg_gws_tpu.data.registry import DatasetRegistry, make_registry
-from gfs3dseg_gws_tpu.data.sampler import sample_k_pointclouds, sample_pointcloud
+from gfs3dseg_gws_tpu.data.sampler import (LegacyRNG, sample_k_pointclouds,
+                                           sample_pointcloud)
 
 
 class PretrainBlockDataset:
@@ -110,12 +111,16 @@ class ValSuppDataset:
 
     def _generate_episode(self):
         """Materialise k_shot support blocks per novel class
-        (loader.py:373-421). Seeded identically (np.random seed = self.seed);
-        scans already used by one class are blacklisted for the next."""
-        rng = np.random.default_rng(self.seed)
-        # reproduce reference nesting: np.random.seed(seed) then
-        # np.random.choice — we use a Generator with the same seed; the
-        # static fixture is regenerated once and fixed thereafter.
+        (loader.py:373-421).
+
+        BYTE-IDENTICAL to the reference: LegacyRNG(seed) replays the exact
+        `np.random.seed(seed)`/`random.seed(seed)` MT19937 streams the
+        reference's generate_one_episode consumes (loader.py:381-385), so
+        for the same seed and the same class2scans.pkl both frameworks
+        materialise identical pkl fixtures (pinned by
+        tests/test_fixture_rng_oracle.py). Scans already used by one class
+        are blacklisted for the next."""
+        rng = LegacyRNG(self.seed)
         black_list: List[str] = []
         for sampled_class in self.classes:
             names = [s for s in self.class2scans[int(sampled_class)]
@@ -188,10 +193,23 @@ class TestingDataset:
 
     def _create_static(self):
         """Materialise every block in the test dir once (loader.py:491-521);
-        labels stored in class-NAME order."""
-        rng = np.random.default_rng(self.seed)
+        labels stored in class-NAME order.
+
+        BYTE-IDENTICAL to the reference: the reference consumes the global
+        legacy RNG, which train.py:825-828 seeds with args.seed (default
+        321) right before main() and nothing touches in between, so
+        LegacyRNG(seed) replays the same stream.  The block enumeration
+        deliberately uses the UNsorted os.listdir order — that is the
+        reference's enumeration (loader.py:500-501), and the draw sequence
+        (hence every sampled block) depends on it.  Which physical block
+        lands in which {i}.pkl therefore matches the reference exactly on
+        the same filesystem state (and is filesystem-order dependent in
+        both frameworks — a reference quirk, kept for parity; labels are
+        stored alongside each block so downstream results do not depend on
+        the enumeration)."""
+        rng = LegacyRNG(self.seed)
         src = os.path.join(self.data_path, "data")
-        block_list = sorted(os.listdir(src))
+        block_list = os.listdir(src)
         for sub in ("pcd", "label", "segment_label"):
             os.makedirs(os.path.join(self.save_path, sub), exist_ok=True)
         for i, fname in enumerate(block_list):

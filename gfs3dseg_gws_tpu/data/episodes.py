@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from gfs3dseg_gws_tpu.data.registry import DatasetRegistry, make_registry
-from gfs3dseg_gws_tpu.data.sampler import sample_k_pointclouds
+from gfs3dseg_gws_tpu.data.sampler import LegacyRNG, sample_k_pointclouds
 
 
 class EpisodeDataset:
@@ -118,10 +118,15 @@ class StaticEpisodeBank:
                 key=lambda p: int(os.path.basename(p)[:-3]))
         else:
             os.makedirs(self.bank_path)
-            rng = np.random.default_rng(seed)
+            # LegacyRNG replays the reference's global-stream draws
+            # (pretrain/dataloaders/loader.py:293-322 consumes the global
+            # legacy RNG whose state at bank creation is `seed`); the class
+            # combinations iterate in the registry's fold-table order,
+            # exactly the reference's `combinations(self.classes, n_way)`
+            rng = LegacyRNG(seed)
             self.file_names = []
             episode_ind = 0
-            for comb in combinations(sorted(self.classes.tolist()), n_way):
+            for comb in combinations([int(c) for c in self.classes], n_way):
                 for _ in range(num_episode_per_comb):
                     data = source.generate_one_episode(np.array(comb), rng)
                     out = os.path.join(self.bank_path, f"{episode_ind}.h5")

@@ -12,9 +12,54 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Dict, Optional, Sequence, Tuple
+import random as _pyrandom
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+
+class LegacyRNG:
+    """Bit-exact replay of the reference's legacy global RNG streams.
+
+    The reference drives all sampling through the GLOBAL numpy legacy RNG
+    (`np.random.seed(s)` + `np.random.choice/randn`, MT19937) and the GLOBAL
+    python stdlib RNG (`random.seed(s)` + `random.uniform/random`) —
+    reference dataloaders/loader.py:381-385 (ValSupp seeding), 39-129
+    (sample_pointcloud draws), 132-151 (augmentation draws).  This adapter
+    reproduces those streams EXACTLY with instance-local state:
+    `np.random.RandomState(s)` is the same MT19937 generator the global
+    functions use after `np.random.seed(s)`, and `random.Random(s)` is the
+    stdlib generator after `random.seed(s)`.  Methods are named after the
+    numpy Generator API the samplers call; each maps onto the function the
+    reference calls at that point in the sequence:
+
+        choice          -> np.random.choice   (numpy MT19937)
+        standard_normal -> np.random.randn    (numpy MT19937)
+        uniform         -> random.uniform     (stdlib Mersenne)
+        random          -> random.random      (stdlib Mersenne)
+
+    so for the same seed the draw sequence — and therefore every
+    materialised fixture — is byte-identical to the reference's.
+    """
+
+    def __init__(self, seed: int):
+        self.np_rs = np.random.RandomState(seed)
+        self.py = _pyrandom.Random(seed)
+
+    def choice(self, a, size=None, replace=True):
+        return self.np_rs.choice(a, size, replace)
+
+    def standard_normal(self, shape):
+        return self.np_rs.randn(*shape)
+
+    def uniform(self, lo, hi):
+        return self.py.uniform(lo, hi)
+
+    def random(self):
+        return self.py.random()
+
+
+SamplerRNG = Union[np.random.Generator, LegacyRNG]
 
 
 def _rot_z(angle: float) -> np.ndarray:
@@ -29,7 +74,7 @@ def _mirror(axis: int) -> np.ndarray:
 
 
 def augment_pointcloud(xyz: np.ndarray, config: Dict,
-                       rng: np.random.Generator) -> np.ndarray:
+                       rng: SamplerRNG) -> np.ndarray:
     """Random rigid augmentation of xyz + jitter (loader.py:132-151).
 
     Application order matches the reference composition: scale, then
@@ -67,7 +112,7 @@ def sample_pointcloud(
     support: bool = False,
     random_sample: bool = False,
     use_all_classes: bool = False,
-    rng: Optional[np.random.Generator] = None,
+    rng: Optional[SamplerRNG] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Load one block .npy and sample `num_point` points (loader.py:39-129).
 
@@ -78,7 +123,10 @@ def sample_pointcloud(
       * use_all_classes=True  -> index into `sampled_classes` (no bg slot).
     """
     if rng is None:
-        rng = np.random.default_rng()
+        raise TypeError(
+            "sample_pointcloud requires an explicit rng (np.random.Generator "
+            "or LegacyRNG) — an unseeded default would silently break "
+            "reproducibility")
     sampled_classes = list(sampled_classes)
 
     data = np.load(os.path.join(data_path, "data", f"{scan_name}.npy"))
@@ -141,7 +189,7 @@ def sample_k_pointclouds(
     data_path: str, num_point: int, pc_attribs: str, pc_augm: bool,
     pc_augm_config: Optional[Dict], scan_names: Sequence[str],
     sampled_class: int, sampled_classes: Sequence, is_support: bool = False,
-    rng: Optional[np.random.Generator] = None,
+    rng: Optional[SamplerRNG] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sample K point clouds for one class (loader.py:19-36)."""
     clouds, labels, segs = [], [], []

@@ -1,0 +1,239 @@
+"""Byte-identical static-fixture materialisation vs the REFERENCE loader.
+
+The static fixtures DEFINE evaluation: `ValSupp_S*_K*_Seed*` picks the
+support shots that registration sees, and `static_test_{npts}` fixes the
+query points the metric runs over.  The reference generates both with the
+legacy global RNG (`np.random.seed`/`random.seed`, MT19937 — reference
+dataloaders/loader.py:381-385 driving loader.py:39-129 draws inside the
+episode loops loader.py:373-421 and 491-521).  Our datasets replay that
+exact call sequence via data.sampler.LegacyRNG, so for a given seed both
+frameworks materialise the same support/query sets array-for-array.
+
+These tests run the reference's OWN ValSupp_Dataset / Testing_Dataset
+classes (imported from /root/reference, torch CPU) on a synthetic dataset,
+then our ValSuppDataset / TestingDataset on the SAME directory (reference
+output moved aside first, so both enumerate identical filesystem state and
+share one class2scans.pkl), and assert every materialised pkl is identical.
+"""
+import os
+import pickle
+import random
+import shutil
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from gfs3dseg_gws_tpu.data import make_synthetic_blocks
+from gfs3dseg_gws_tpu.data.datasets import TestingDataset, ValSuppDataset
+from gfs3dseg_gws_tpu.data.registry import DatasetRegistry
+
+REFERENCE_ROOT = "/root/reference"
+NPTS = 256
+
+
+@pytest.fixture(scope="module")
+def ref_loader():
+    """The reference's dataloaders.loader module, import-shimmed for a
+    modern environment (transforms3d stub — augmentation is OFF for every
+    static fixture; np.int alias removed in numpy>=1.24)."""
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not available")
+    if "transforms3d" not in sys.modules:
+        t3d = types.ModuleType("transforms3d")
+        zooms = types.ModuleType("transforms3d.zooms")
+        axangles = types.ModuleType("transforms3d.axangles")
+        zooms.zfdir2mat = lambda f, direction=None: np.diag([float(f)] * 3)
+        axangles.axangle2mat = None  # unused with pc_augm=False
+        t3d.zooms, t3d.axangles = zooms, axangles
+        sys.modules["transforms3d"] = t3d
+        sys.modules["transforms3d.zooms"] = zooms
+        sys.modules["transforms3d.axangles"] = axangles
+    added_np_int = not hasattr(np, "int")
+    if added_np_int:
+        np.int = int  # reference loader.py:124 uses the removed alias
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import dataloaders.loader as mod
+        import dataloaders.s3dis  # noqa: F401 (deferred import target)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    yield mod
+    if added_np_int:
+        del np.int
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fixture_rng")
+    make_synthetic_blocks(str(root), n_train_blocks=36, n_test_blocks=10,
+                          points_per_block=NPTS + NPTS // 2, seed=17)
+    return str(root)
+
+
+def _orders(train_dir):
+    reg = DatasetRegistry("s3dis", 0, train_dir)
+    learning_order = sorted(reg.train_classes) + sorted(reg.test_classes)
+    return reg, learning_order
+
+
+def _assert_tree_equal(ref_dir, our_dir):
+    for sub in sorted(os.listdir(ref_dir)):
+        ref_sub = os.path.join(ref_dir, sub)
+        our_sub = os.path.join(our_dir, sub)
+        names = sorted(os.listdir(ref_sub))
+        assert sorted(os.listdir(our_sub)) == names, f"{sub}: file sets differ"
+        for name in names:
+            with open(os.path.join(ref_sub, name), "rb") as f:
+                ref_arr = np.asarray(pickle.load(f))
+            with open(os.path.join(our_sub, name), "rb") as f:
+                our_arr = np.asarray(pickle.load(f))
+            np.testing.assert_array_equal(
+                our_arr, ref_arr.astype(our_arr.dtype)
+                if our_arr.dtype != ref_arr.dtype else ref_arr,
+                err_msg=f"{sub}/{name} differs from the reference fixture")
+
+
+@pytest.mark.parametrize("seed", [10, 50])
+def test_valsupp_fixture_byte_identical(ref_loader, synth_root, seed):
+    """ValSupp_S*_K*_Seed* materialisation (reference loader.py:373-421)."""
+    train_dir = os.path.join(synth_root, "blocks_bs1.0_s1.0")
+    _, learning_order = _orders(train_dir)  # also builds class2scans.pkl
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        ref_ds = ref_loader.ValSupp_Dataset(
+            data_path=train_dir, dataset_name="s3dis", cvfold=0, k_shot=2,
+            mode="test", num_point=NPTS, pc_attribs="xyzrgbXYZ",
+            pc_augm=False, pc_augm_config=None, seed=seed,
+            learning_order=learning_order)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    ref_out = ref_ds.save_path + ".ref"
+    shutil.move(ref_ds.save_path, ref_out)
+
+    ours = ValSuppDataset(train_dir, "s3dis", cvfold=0, k_shot=2,
+                          mode="test", num_point=NPTS, seed=seed,
+                          learning_order=learning_order)
+    _assert_tree_equal(ref_out, ours.save_path)
+
+
+def test_static_test_fixture_byte_identical(ref_loader, synth_root):
+    """static_test_{npts} materialisation (reference loader.py:491-521).
+
+    The reference consumes the GLOBAL legacy stream, seeded by
+    train.py:825-828 with args.seed (default 321) right before main();
+    replicate exactly that, then run ours with seed=321 on the same
+    directory (same os.listdir enumeration)."""
+    test_dir = os.path.join(synth_root, "blocks_bs1.0_s1.0_test")
+    reg = DatasetRegistry("s3dis", 0, test_dir)
+    learning_order = sorted(reg.train_classes) + sorted(reg.test_classes)
+    names = sorted(learning_order)
+    c2s = {c: reg.class2scans[c] for c in names}
+
+    np.random.seed(321)
+    random.seed(321)
+    ref_ds = ref_loader.Testing_Dataset(
+        test_dir, names, learning_order, c2s, mode="test", num_point=NPTS,
+        pc_attribs="xyzrgbXYZ", pc_augm=False)
+    ref_out = ref_ds.save_path + ".ref"
+    shutil.move(ref_ds.save_path, ref_out)
+
+    ours = TestingDataset(test_dir, names, learning_order, c2s,
+                          num_point=NPTS, seed=321)
+    _assert_tree_equal(ref_out, ours.save_path)
+
+    # and the read path agrees: learning-order remap on top of identical pkls
+    pcd, label, _ = ours[0]
+    assert pcd.shape == (NPTS, 9) and label.shape == (NPTS,)
+
+
+def test_small_block_replacement_path(ref_loader, synth_root, tmp_path):
+    """N < num_point exercises the replace=True branch of both choice calls
+    (reference loader.py:70-80); the draw sequence must still match."""
+    root = tmp_path / "tiny"
+    make_synthetic_blocks(str(root), n_train_blocks=36, n_test_blocks=4,
+                          points_per_block=NPTS // 2, seed=23)
+    train_dir = os.path.join(str(root), "blocks_bs1.0_s1.0")
+    _, learning_order = _orders(train_dir)
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        ref_ds = ref_loader.ValSupp_Dataset(
+            data_path=train_dir, dataset_name="s3dis", cvfold=0, k_shot=1,
+            mode="test", num_point=NPTS, pc_attribs="xyzrgbXYZ",
+            pc_augm=False, pc_augm_config=None, seed=30,
+            learning_order=learning_order)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    ref_out = ref_ds.save_path + ".ref"
+    shutil.move(ref_ds.save_path, ref_out)
+
+    ours = ValSuppDataset(train_dir, "s3dis", cvfold=0, k_shot=1,
+                          mode="test", num_point=NPTS, seed=30,
+                          learning_order=learning_order)
+    _assert_tree_equal(ref_out, ours.save_path)
+
+
+def test_h5_episode_bank_byte_identical(ref_loader, synth_root):
+    """Static h5 episode bank (reference pretrain/dataloaders/loader.py:
+    284-362 MyTestDataset): the bank consumes the global legacy stream;
+    seed both sides identically and compare every h5 array."""
+    import h5py
+
+    if "pretrain_shim" not in sys.modules:
+        # the pretrain tree re-imports `dataloaders.s3dis`; the top-level
+        # copy already in sys.modules is interface-identical for this path
+        pass
+    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "pretrain"))
+    sys.path.insert(0, REFERENCE_ROOT)
+    added_np_int = not hasattr(np, "int")
+    if added_np_int:
+        np.int = int
+    try:
+        import importlib.util as ilu
+        spec = ilu.spec_from_file_location(
+            "ref_pretrain_loader",
+            os.path.join(REFERENCE_ROOT, "pretrain", "dataloaders",
+                         "loader.py"))
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        train_dir = os.path.join(synth_root, "blocks_bs1.0_s1.0")
+        np.random.seed(77)
+        random.seed(77)
+        ref_bank = mod.MyTestDataset(
+            train_dir, "s3dis", cvfold=0, num_episode_per_comb=1, n_way=2,
+            k_shot=1, n_queries=1, num_point=NPTS, pc_attribs="xyzrgbXYZ",
+            mode="test")
+    finally:
+        sys.path.remove(os.path.join(REFERENCE_ROOT, "pretrain"))
+        sys.path.remove(REFERENCE_ROOT)
+        if added_np_int:
+            del np.int
+
+    bank_dir = os.path.join(
+        train_dir, f"S_0_N_2_K_1_test_episodes_1_pts_{NPTS}")
+    ref_dir = bank_dir + ".ref"
+    shutil.move(bank_dir, ref_dir)
+
+    from gfs3dseg_gws_tpu.data.episodes import StaticEpisodeBank
+    ours = StaticEpisodeBank(train_dir, "s3dis", cvfold=0,
+                             num_episode_per_comb=1, n_way=2, k_shot=1,
+                             n_queries=1, num_point=NPTS, mode="test",
+                             seed=77)
+    ref_files = sorted(os.listdir(ref_dir), key=lambda p: int(p[:-3]))
+    assert len(ref_files) == len(ours)
+    keys = ["support_ptclouds", "support_masks", "query_ptclouds",
+            "query_labels", "sampled_classes"]
+    for name in ref_files:
+        with h5py.File(os.path.join(ref_dir, name), "r") as fr, \
+                h5py.File(os.path.join(bank_dir, name), "r") as fo:
+            for key in keys:
+                np.testing.assert_array_equal(
+                    np.asarray(fo[key][:]),
+                    np.asarray(fr[key][:]).astype(fo[key].dtype),
+                    err_msg=f"{name}/{key} differs")
