@@ -105,13 +105,15 @@ def bench_sweep():
     The synthetic fixture (1024 blocks x 2048 pts) is materialised once
     under /tmp and reused across invocations.
 
-    Measured breakdown on the axon-tunnelled v5e chip (1024 blocks, bs=64):
-    host iteration 13ms (packed memmap), device-resident dispatch 936 b/s,
-    end-to-end 342 b/s — the gap is H2D at ~40 MB/s through the tunnel,
-    not a property of the host pipeline or the TPU (a real v5e host moves
-    batches over PCIe at GB/s, where this measures at the device rate).
-    The 5-seed only_evaluate flow amortises each transferred batch over 5
-    prototype sets (evaluate_multi), so its per-seed e2e rate is ~5x this."""
+    Round-3 evolution of this number on the axon-tunnelled v5e chip
+    (1024 blocks): r2 ended at 320 b/s, bound by H2D at 72 KB/block f32
+    through the ~40 MB/s tunnel. Packed H2D (xyz f16 + rgb u8 + label u8,
+    device-side unpack — 20 KB/block) lifted it to ~508, at which point
+    per-step dispatch latency dominated (the r2 note measured ~936 b/s
+    dispatch-bound even device-resident at bs=64); bs=256 cuts the sweep
+    to 4 dispatches: 497/806/1071 b/s at bs 64/128/256. The 5-seed
+    only_evaluate flow amortises each transferred batch over 5 prototype
+    sets (evaluate_multi), so its per-seed e2e rate is higher still."""
     import os
 
     from gfs3dseg_gws_tpu.data import make_synthetic_blocks
@@ -123,7 +125,7 @@ def bench_sweep():
     on_tpu = jax.default_backend() == "tpu"
     npts = 2048 if on_tpu else 256
     n_blocks = 1024 if on_tpu else 16
-    batch = 64 if on_tpu else 4
+    batch = 256 if on_tpu else 4
 
     root = f"/tmp/gfs3d_bench_sweep_n{npts}_m{n_blocks}"
     test_dir = os.path.join(root, "blocks_bs1.0_s1.0_test")

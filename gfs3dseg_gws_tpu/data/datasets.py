@@ -245,30 +245,73 @@ class TestingDataset:
         pcd_path = os.path.join(self.save_path, "packed_pcd.npy")
         lbl_path = os.path.join(self.save_path, "packed_label.npy")
         m = len(self.data_list)
-        ok = os.path.exists(pcd_path) and os.path.exists(lbl_path)
-        if ok:
-            pcd = np.load(pcd_path, mmap_mode="r")
-            ok = pcd.shape[0] == m
-        if not ok:
-            # may raise OSError on a read-only dataset mount — callers
-            # (pipelines.gfs.eval_batches) fall back to the pickle path
-            self._build_packed(pcd_path, lbl_path)
-            pcd = np.load(pcd_path, mmap_mode="r")
-        lbl = np.load(lbl_path, mmap_mode="r")
+        c = len(self.pc_attribs)
+        pcd, lbl = self._load_cache(
+            ((pcd_path, np.float32, (m, self.num_point, c)),
+             (lbl_path, np.int32, (m, self.num_point))), self._build_packed)
         lut = np.zeros(max(self.learning_order) + 1, np.int32)
         for pos, cls in enumerate(self.learning_order):
             lut[cls] = pos
         return pcd, lbl, lut
 
-    def _build_packed(self, pcd_path: str, lbl_path: str) -> None:
+    def packed_q_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                       np.ndarray]:
+        """Quantised transfer cache: xyz f16 + rgb u8 (+ labels, lut).
+
+        9 bytes/point instead of 36 — the H2D payload for the packed eval
+        path (parallel.steps.unpack_points reconstructs xyzrgbXYZ on
+        device). rgb recovers the original uint8 exactly (fixtures store
+        orig/255); xyz is f16-quantised and XYZ recomputed on device — the
+        documented throughput-mode deviation.
+        """
+        xyz_path = os.path.join(self.save_path, "packed_xyz16.npy")
+        rgb_path = os.path.join(self.save_path, "packed_rgb8.npy")
+        lbl_path = os.path.join(self.save_path, "packed_label.npy")
         m = len(self.data_list)
-        c = len(self.pc_attribs)
+        if "xyz" not in self.pc_attribs or "rgb" not in self.pc_attribs:
+            raise ValueError("packed transfer needs xyz+rgb attributes")
+        xyz, rgb, lbl = self._load_cache(
+            ((xyz_path, np.float16, (m, self.num_point, 3)),
+             (rgb_path, np.uint8, (m, self.num_point, 3)),
+             (lbl_path, np.int32, (m, self.num_point))),
+            self._build_packed_q)
+        lut = np.zeros(max(self.learning_order) + 1, np.int32)
+        for pos, cls in enumerate(self.learning_order):
+            lut[cls] = pos
+        return xyz, rgb, lbl, lut
+
+    def _load_cache(self, specs, builder):
+        """Validated memmap cache loader: EVERY file must exist with the
+        exact expected shape+dtype or the whole set is rebuilt (a
+        count-only check silently served mismatched label files)."""
+        ok = all(os.path.exists(path) for path, _, _ in specs)
+        if ok:
+            arrays = []
+            for path, dtype, shape in specs:
+                arr = np.load(path, mmap_mode="r")
+                if arr.shape != shape or arr.dtype != dtype:
+                    ok = False
+                    break
+                arrays.append(arr)
+        if not ok:
+            # may raise OSError on a read-only dataset mount — callers
+            # (pipelines.gfs.eval_batches) fall back to the pickle path
+            builder(specs)
+            arrays = [np.load(path, mmap_mode="r") for path, _, _ in specs]
+        return tuple(arrays)
+
+    def _tmp_suffix(self) -> str:
+        # unique per process: two concurrent eval jobs over one static_test
+        # dir must not interleave writes into the same tmp memmap
+        return f".tmp.{os.getpid()}"
+
+    def _build_packed(self, specs) -> None:
+        (pcd_path, _, pcd_shape), (lbl_path, _, lbl_shape) = specs
+        tmp = self._tmp_suffix()
         pcd = np.lib.format.open_memmap(
-            pcd_path + ".tmp", mode="w+", dtype=np.float32,
-            shape=(m, self.num_point, c))
+            pcd_path + tmp, mode="w+", dtype=np.float32, shape=pcd_shape)
         lbl = np.lib.format.open_memmap(
-            lbl_path + ".tmp", mode="w+", dtype=np.int32,
-            shape=(m, self.num_point))
+            lbl_path + tmp, mode="w+", dtype=np.int32, shape=lbl_shape)
         for i, name in enumerate(self.data_list):
             with open(os.path.join(self.save_path, "pcd", name), "rb") as f:
                 pcd[i] = pickle.load(f).astype(np.float32)
@@ -278,8 +321,35 @@ class TestingDataset:
         pcd.flush()
         lbl.flush()
         del pcd, lbl
-        os.replace(pcd_path + ".tmp", pcd_path)
-        os.replace(lbl_path + ".tmp", lbl_path)
+        os.replace(pcd_path + tmp, pcd_path)
+        os.replace(lbl_path + tmp, lbl_path)
+
+    def _build_packed_q(self, specs) -> None:
+        (xyz_path, _, xyz_shape), (rgb_path, _, rgb_shape), \
+            (lbl_path, _, lbl_shape) = specs
+        tmp = self._tmp_suffix()
+        xyz = np.lib.format.open_memmap(
+            xyz_path + tmp, mode="w+", dtype=np.float16, shape=xyz_shape)
+        rgb = np.lib.format.open_memmap(
+            rgb_path + tmp, mode="w+", dtype=np.uint8, shape=rgb_shape)
+        lbl = np.lib.format.open_memmap(
+            lbl_path + tmp, mode="w+", dtype=np.int32, shape=lbl_shape)
+        xyz_cols = self.pc_attribs.index("x")
+        rgb_cols = self.pc_attribs.index("r")
+        for i, name in enumerate(self.data_list):
+            with open(os.path.join(self.save_path, "pcd", name), "rb") as f:
+                block = pickle.load(f).astype(np.float32)
+            xyz[i] = block[:, xyz_cols:xyz_cols + 3].astype(np.float16)
+            rgb[i] = np.rint(block[:, rgb_cols:rgb_cols + 3]
+                             * 255.0).astype(np.uint8)
+            with open(os.path.join(self.save_path, "label", name),
+                      "rb") as f:
+                lbl[i] = pickle.load(f).astype(np.int32)
+        for arr in (xyz, rgb, lbl):
+            arr.flush()
+        del xyz, rgb, lbl
+        for path, _, _ in specs:
+            os.replace(path + tmp, path)
 
     def __getitem__(self, index: int
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

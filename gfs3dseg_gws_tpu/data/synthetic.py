@@ -52,7 +52,11 @@ def make_synthetic_room(rng: np.random.Generator, n_points: int = 8000,
             center_xy[1] + 0.35 * rng.standard_normal(cnt),
             z_center + 0.15 * rng.standard_normal(cnt),
         ], axis=1)
-        rgb = np.clip(color + 20.0 * rng.standard_normal((cnt, 3)), 0, 255)
+        # integer-valued like the real collectors' output (S3DIS txt /
+        # ScanNet ply store rgb as 0-255 ints) — also what makes the
+        # packed-H2D uint8 round-trip exact
+        rgb = np.rint(np.clip(color + 20.0 * rng.standard_normal((cnt, 3)),
+                              0, 255))
         lbl = np.full((cnt, 1), cls, dtype=np.float64)
         rows.append(np.concatenate([xyz, rgb, lbl], axis=1))
     room = np.concatenate(rows, axis=0)

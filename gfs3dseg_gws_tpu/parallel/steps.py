@@ -129,6 +129,28 @@ def make_gfs_train_step(model, mesh: Optional[Mesh] = None,
     )
 
 
+def unpack_points(points):
+    """Reconstruct (B, N, 9) xyzrgbXYZ features from a packed H2D payload.
+
+    `points` is either the dense f32 array (exact path) or a tuple
+    (xyz (B,N,3) f16, rgb (B,N,3) u8) — 9 bytes/point instead of 36, a 4x
+    cut of the host->device transfer that bounds the end-to-end sweep
+    through the axon tunnel (~40 MB/s).  The normalised XYZ attributes are
+    recomputed on device exactly as the sampler does host-side
+    (reference dataloaders/loader.py:92-101).  Documented deviation of the
+    packed path: coords quantised to f16 (<=2^-11 relative) and XYZ/rgb
+    recomputed in f32 device arithmetic; use h2d="exact" for strict parity.
+    """
+    if not isinstance(points, (tuple, list)):
+        return points
+    xyz16, rgb8 = points
+    xyz = xyz16.astype(jnp.float32)
+    rgb = rgb8.astype(jnp.float32) / 255.0
+    shifted = xyz - jnp.min(xyz, axis=1, keepdims=True)
+    span = jnp.max(shifted, axis=1, keepdims=True)
+    return jnp.concatenate([xyz, rgb, shifted / span], axis=-1)
+
+
 def make_gfs_eval_step(model, num_classes: int,
                        mesh: Optional[Mesh] = None) -> Callable:
     """Fused GFS eval step: logits + argmax + confusion matrix on device.
@@ -139,6 +161,8 @@ def make_gfs_eval_step(model, num_classes: int,
 
     def step(variables, points, labels, gp, gened_proto, base_coding,
              novel_coding, valid):
+        points = unpack_points(points)
+        labels = labels.astype(jnp.int32)   # u8 in packed-H2D mode
         logits, gp_acc, gp_nacc = model.apply(
             variables, points, gp, gened_proto, base_coding, novel_coding,
             labels, valid, method="evaluate")
@@ -171,6 +195,8 @@ def make_gfs_eval_multi_step(model, num_classes: int,
 
     def step(variables, points, labels, gp, gened_protos, base_coding,
              novel_codings, valid):
+        points = unpack_points(points)
+        labels = labels.astype(jnp.int32)   # u8 in packed-H2D mode
         logits, gp_acc, gp_nacc = model.apply(
             variables, points, gp, gened_protos, base_coding, novel_codings,
             labels, valid, method="evaluate_multi")   # (S, B, N, cls)

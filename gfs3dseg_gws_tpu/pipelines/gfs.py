@@ -301,24 +301,42 @@ def register_novel_protos(model, variables, gp, supp_dataset,
     return gened.astype(np.float32), np.stack(novel_codings).astype(np.float32)
 
 
-def eval_batches(val_dataset, batch_size: int):
-    """(points (B,N,C), labels (B,N), valid) batches for the static_test
-    sweep.
+def _h2d_mode(h2d: str) -> str:
+    """Resolve the transfer mode: "exact" (dense f32 batches) or "packed"
+    (xyz f16 + rgb u8, device-side unpack). "auto" packs on TPU — the
+    sweep through the axon tunnel is H2D-bound at 72 KB/block f32 — unless
+    GFS3D_EXACT_H2D=1 (the strict-parity runbook sets it)."""
+    from gfs3dseg_gws_tpu.utils.env import env_flag
 
-    Fast path: the packed memmap cache (TestingDataset.packed_arrays) — one
-    contiguous slice + vectorised label LUT per batch, no per-block pickle
-    parsing between device steps (VERDICT r1 weak #1: the reference-style
-    pickle-per-block path bottlenecks the sweep at TPU eval rates). Falls
-    back to the generic thread-pool iterator for datasets without packing;
-    disable the fast path with GFS3D_NO_PACKED=1.
+    if h2d != "auto":
+        return h2d
+    if env_flag("GFS3D_EXACT_H2D"):
+        return "exact"
+    return "packed" if jax.default_backend() == "tpu" else "exact"
+
+
+def eval_batches(val_dataset, batch_size: int, h2d: str = "auto"):
+    """(points, labels (B,N), valid) batches for the static_test sweep;
+    `points` is (B,N,C) f32 or, in packed mode, an (xyz f16, rgb u8) tuple.
+
+    Fast path: the packed memmap caches (TestingDataset.packed_arrays /
+    packed_q_arrays) — one contiguous slice + vectorised label LUT per
+    batch, no per-block pickle parsing between device steps (VERDICT r1
+    weak #1: the reference-style pickle-per-block path bottlenecks the
+    sweep at TPU eval rates). Falls back to the generic thread-pool
+    iterator for datasets without packing; disable the fast path with
+    GFS3D_NO_PACKED=1.
     """
     from gfs3dseg_gws_tpu.utils.env import env_flag
 
-    packed = getattr(val_dataset, "packed_arrays", None)
+    mode = _h2d_mode(h2d)
+    quant = mode == "packed"
+    packed = getattr(
+        val_dataset, "packed_q_arrays" if quant else "packed_arrays", None)
     if packed is not None and not env_flag("GFS3D_NO_PACKED"):
         try:
-            pcd_mm, lbl_mm, lut = packed()
-        except OSError as e:
+            arrays = packed()
+        except (OSError, ValueError) as e:
             # e.g. a read-only dataset mount where the cache cannot be
             # built — stream the per-block pickles instead
             import logging
@@ -327,16 +345,22 @@ def eval_batches(val_dataset, batch_size: int):
                 "to the per-block pickle iterator", e)
             packed = None
     if packed is not None and not env_flag("GFS3D_NO_PACKED"):
-        total = pcd_mm.shape[0]
+        feats, lbl_mm, lut = arrays[:-2], arrays[-2], arrays[-1]
+        if quant:
+            # labels ride as uint8 too (class counts are <= 21); the eval
+            # step upcasts on device
+            lut = lut.astype(np.uint8)
+        total = lbl_mm.shape[0]
         for s in range(0, total, batch_size):
-            pts = np.asarray(pcd_mm[s:s + batch_size])
+            parts = [np.asarray(f[s:s + batch_size]) for f in feats]
             lbl = lut[np.asarray(lbl_mm[s:s + batch_size])]
-            valid = pts.shape[0]
+            valid = lbl.shape[0]
             if valid < batch_size:
                 pad = batch_size - valid
-                pts = np.concatenate([pts, np.repeat(pts[:1], pad, 0)])
+                parts = [np.concatenate([p, np.repeat(p[:1], pad, 0)])
+                         for p in parts]
                 lbl = np.concatenate([lbl, np.repeat(lbl[:1], pad, 0)])
-            yield pts, lbl, valid
+            yield (tuple(parts) if quant else parts[0]), lbl, valid
         return
     for batch in batch_iterator(val_dataset, batch_size, shuffle=False,
                                 pad_final=True):
@@ -346,7 +370,8 @@ def eval_batches(val_dataset, batch_size: int):
 def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
              novel_coding, all_learning_order, novel_class_names,
              num_classes: int, batch_size: int = 16, mesh=None,
-             scannet: bool = False, logger: Optional[IOStream] = None):
+             scannet: bool = False, logger: Optional[IOStream] = None,
+             h2d: str = "auto"):
     """Full static_test sweep -> GFS metric (reference train.py:666-731)."""
     eval_step = cached_step(make_gfs_eval_step, model, num_classes, mesh)
     gp_acc_m, gp_nacc_m = AverageMeter(), AverageMeter()
@@ -372,7 +397,7 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
         gp_nacc_m.update(float(nacc))
 
     results = []
-    for points, labels, valid in eval_batches(val_dataset, batch_size):
+    for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
         if mesh is not None:
             points = shard_batch(points, mesh)
             labels = shard_batch(labels, mesh)
@@ -394,7 +419,7 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
                    base_coding, novel_codings, all_learning_order,
                    novel_class_names, num_classes: int, batch_size: int = 16,
                    mesh=None, scannet: bool = False,
-                   logger: Optional[IOStream] = None):
+                   logger: Optional[IOStream] = None, h2d: str = "auto"):
     """One static_test sweep evaluating S prototype sets simultaneously.
     Returns a list of S (mean, base, novel, hm, iou_list) tuples."""
     from gfs3dseg_gws_tpu.parallel.steps import make_gfs_eval_multi_step
@@ -420,7 +445,7 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
         gp_nacc_m.update(float(np.mean(np.asarray(nacc))))
 
     results = []
-    for points, labels, valid in eval_batches(val_dataset, batch_size):
+    for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
         if mesh is not None:
             points = shard_batch(points, mesh)
             labels = shard_batch(labels, mesh)
