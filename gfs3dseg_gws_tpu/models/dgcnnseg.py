@@ -45,11 +45,12 @@ class DGCNNSeg(nn.Module):
     mlp_widths: Sequence[int] = (512, 256)
     k: int = 20
     use_pallas: bool = True
+    dropout: float = 0.3  # reference pre_train.py:36 (0 = deterministic)
 
     def setup(self):
         self.encoder = DGCNN(self.edgeconv_widths, self.mlp_widths, k=self.k,
                              use_pallas=self.use_pallas)
-        self.segmenter = Segmenter(self.num_classes)
+        self.segmenter = Segmenter(self.num_classes, dropout=self.dropout)
 
     def __call__(self, pc: jax.Array, train: bool = False,
                  return_feat: bool = False):

@@ -34,8 +34,12 @@ def multi_prototypes(feat: jax.Array, valid: jax.Array, k: int
 
     FPS seeds over valid rows, then mean-pool each seed's nearest valid rows
     (reference mpti.py:139-172). Empty clusters keep their seed feature.
+    Seed indices are SORTED like the reference's `fps(...).unique()`
+    (torch.unique sorts), so prototype rows line up with the reference's
+    when no duplicate seeds occur; downstream is row-order invariant
+    anyway (per-class constant labels).
     """
-    seeds_idx = farthest_point_sampling(feat, k, valid_mask=valid > 0)
+    seeds_idx = jnp.sort(farthest_point_sampling(feat, k, valid_mask=valid > 0))
     seeds = feat[seeds_idx]                                  # (k, D)
     d = pairwise_sq_dists(feat[None], seeds[None])[0]        # (M, k)
     assign = jnp.argmin(d, axis=-1)                          # (M,)

@@ -286,44 +286,29 @@ def episodic_eval(kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,
     return mean_iou
 
 
-def finetune(model_cfg, data_cfg, fs_cfg: FewShotConfig,
-             pretrain_checkpoint_path: str = "", inner_iters: int = 100,
-             logger=None, max_episodes: Optional[int] = None,
-             bank_episodes: Optional[int] = None) -> float:
-    """FineTune baseline (reference pretrain/runs/fine_tune.py:97-152):
-    per episode, train only the segmenter head on the support set for
-    `inner_iters` steps, then test on the query set."""
+def make_finetune_loop(model_cfg, fs_cfg, n_cls: int,
+                       dropout: float = 0.3):
+    """The FineTune inner loop (reference fine_tune.py:21-75): full
+    train-mode forward (so encoder BN running stats update exactly like
+    the reference's), but Adam steps only the segmenter head.
+
+    Returns (model, tx, inner_step, test_step); `dropout`=0 makes the
+    trajectory deterministic (the reference-oracle test pins it that way).
+    """
     from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
     from gfs3dseg_gws_tpu.models.layers import cross_entropy
-    from gfs3dseg_gws_tpu.pipelines.gfs import _flat, _load_encoder_any
 
-    logger = logger or init_logger(fs_cfg.log_dir, phase="finetune")
-    n_cls = fs_cfg.n_way + 1
     model = DGCNNSeg(num_classes=n_cls,
                      edgeconv_widths=model_cfg.edgeconv_widths,
                      mlp_widths=model_cfg.dgcnn_mlp_widths,
-                     k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas)
-    rng = jax.random.PRNGKey(fs_cfg.seed)
-    n, cin = data_cfg.pc_npts, len(data_cfg.pc_attribs)
-    variables = jit_init(model, {"params": rng, "dropout": rng},
-                         jnp.zeros((2, n, cin)), True)
-    params, batch_stats = variables["params"], variables["batch_stats"]
-    if pretrain_checkpoint_path:
-        enc_p, enc_s = _load_encoder_any(pretrain_checkpoint_path)
-        params = dict(params)
-        params["encoder"] = restore_into(params["encoder"], _flat(enc_p),
-                                         strict=False)
-        batch_stats = dict(batch_stats)
-        batch_stats["encoder"] = restore_into(batch_stats["encoder"],
-                                              _flat(enc_s), strict=False)
-
+                     k=model_cfg.dgcnn_k, use_pallas=model_cfg.use_pallas,
+                     dropout=dropout)
     # only the segmenter trains (reference fine_tune.py:35)
     tx = optax.multi_transform(
         {"seg": optax.adam(fs_cfg.lr), "frozen": optax.set_to_zero()},
         lambda p: jax.tree_util.tree_map_with_path(
             lambda path, _: "seg" if path[0].key == "segmenter"
             else "frozen", p))
-    opt_state0 = tx.init(params)
 
     @jax.jit
     def inner_step(params, batch_stats, opt_state, sx, sy, rng):
@@ -344,6 +329,39 @@ def finetune(model_cfg, data_cfg, fs_cfg: FewShotConfig,
                              qx, False)
         pred = jnp.argmax(jax.nn.softmax(logits, -1), axis=-1)
         return pred, confusion_matrix(pred, qy, n_cls)
+
+    return model, tx, inner_step, test_step
+
+
+def finetune(model_cfg, data_cfg, fs_cfg: FewShotConfig,
+             pretrain_checkpoint_path: str = "", inner_iters: int = 100,
+             logger=None, max_episodes: Optional[int] = None,
+             bank_episodes: Optional[int] = None) -> float:
+    """FineTune baseline (reference pretrain/runs/fine_tune.py:97-152):
+    per episode, train only the segmenter head on the support set for
+    `inner_iters` steps, then test on the query set."""
+    from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
+    from gfs3dseg_gws_tpu.models.layers import cross_entropy
+    from gfs3dseg_gws_tpu.pipelines.gfs import _flat, _load_encoder_any
+
+    logger = logger or init_logger(fs_cfg.log_dir, phase="finetune")
+    n_cls = fs_cfg.n_way + 1
+    n, cin = data_cfg.pc_npts, len(data_cfg.pc_attribs)
+    model, tx, inner_step, test_step = make_finetune_loop(
+        model_cfg, fs_cfg, n_cls)
+    rng = jax.random.PRNGKey(fs_cfg.seed)
+    variables = jit_init(model, {"params": rng, "dropout": rng},
+                         jnp.zeros((2, n, cin)), True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if pretrain_checkpoint_path:
+        enc_p, enc_s = _load_encoder_any(pretrain_checkpoint_path)
+        params = dict(params)
+        params["encoder"] = restore_into(params["encoder"], _flat(enc_p),
+                                         strict=False)
+        batch_stats = dict(batch_stats)
+        batch_stats["encoder"] = restore_into(batch_stats["encoder"],
+                                              _flat(enc_s), strict=False)
+    opt_state0 = tx.init(params)
 
     bank = StaticEpisodeBank(
         data_cfg.data_path, data_cfg.dataset, cvfold=data_cfg.cvfold,
@@ -381,6 +399,84 @@ def finetune(model_cfg, data_cfg, fs_cfg: FewShotConfig,
     return mean_iou
 
 
+def mpti_gfs_core(feat_fn, base_blocks, supp_items, query_blocks,
+                  base_classes, novel_classes, kp: int, k_connect: int,
+                  sigma: float, rng, n_all: int, max_pts: int = 200_000):
+    """Data-agnostic GFS-MPTI chain (reference mpti_learner.py:107-245).
+
+    feat_fn maps one (N, C) block to its (N, D) features (the production
+    wrapper passes the jitted encoder closure; the reference-oracle test
+    passes a fixed projection shared bit-for-bit with the torch side);
+    base_blocks yields (pc (N,C), lbl (N,) with labels 1+base-index);
+    supp_items yields (pcd (N,C), mask (N,), class-name id);
+    query_blocks yields (pcd (N,C), label in class-NAME ids).
+    `rng` drains the >max_pts subsample draws exactly like the reference's
+    global np.random (pass LegacyRNG(seed).np_rs for parity).
+    Returns (pred_list, gt_list, base_proto_dict) like the reference's
+    test_gfs — the metric layers on top.
+    """
+    from gfs3dseg_gws_tpu.models.mpti import multi_prototypes
+    from gfs3dseg_gws_tpu.ops.linalg import (
+        label_propagate, local_constrained_affinity)
+
+    per_class = {i: [] for i in range(len(base_classes))}
+    for pc, lbl in base_blocks:
+        feat = np.asarray(feat_fn(pc))
+        for i in range(len(base_classes)):
+            mask = lbl == i + 1
+            if mask.sum() > 0:
+                per_class[i].append(feat[mask])
+
+    protos_list, labels_list = [], []
+    base_proto_dict = {}
+    for i, cls in enumerate(base_classes):
+        feat = np.concatenate(per_class[i], axis=0)
+        if feat.shape[0] > max_pts:
+            feat = feat[rng.choice(np.arange(feat.shape[0]), max_pts,
+                                   replace=False)]
+        protos = np.asarray(multi_prototypes(
+            jnp.asarray(feat), jnp.ones(feat.shape[0]), kp))
+        base_proto_dict[cls] = protos
+        protos_list.append(protos)
+        lab = np.zeros((kp, n_all))
+        lab[:, cls] = 1
+        labels_list.append(lab)
+        per_class[i] = []
+
+    novel_feats = {c: [] for c in novel_classes}
+    for pcd, mask, cls in supp_items:
+        feat = np.asarray(feat_fn(pcd))
+        novel_feats[int(cls)].append(feat[mask == 1])
+    for cls in novel_classes:
+        feat = np.concatenate(novel_feats[cls], axis=0)
+        protos = np.asarray(multi_prototypes(
+            jnp.asarray(feat), jnp.ones(feat.shape[0]), kp))
+        protos_list.append(protos)
+        lab = np.zeros((kp, n_all))
+        lab[:, cls] = 1
+        labels_list.append(lab)
+
+    prototypes = jnp.asarray(np.concatenate(protos_list))
+    proto_labels = jnp.asarray(np.concatenate(labels_list))
+    num_p = prototypes.shape[0]
+
+    @jax.jit
+    def propagate(q_feat):
+        node_feat = jnp.concatenate([prototypes, q_feat], axis=0)
+        y0 = jnp.concatenate(
+            [proto_labels, jnp.zeros((q_feat.shape[0], n_all))], axis=0)
+        a = local_constrained_affinity(node_feat, k_connect, sigma)
+        z = label_propagate(a, y0)
+        return jnp.argmax(jax.nn.softmax(z[num_p:], -1), axis=-1)
+
+    pred_list, gt_list = [], []
+    for pcd, label in query_blocks:
+        feat = np.asarray(feat_fn(pcd))
+        pred_list.append(np.asarray(propagate(jnp.asarray(feat))))
+        gt_list.append(np.asarray(label))
+    return pred_list, gt_list, base_proto_dict
+
+
 def mpti_test_gfs(model_cfg, data_cfg, fs_cfg: FewShotConfig,
                   model_checkpoint_path: str, testing_data_path: str,
                   logger=None, max_base_blocks: Optional[int] = None,
@@ -398,6 +494,12 @@ def mpti_test_gfs(model_cfg, data_cfg, fs_cfg: FewShotConfig,
     from gfs3dseg_gws_tpu.ops.metrics import gfs_miou
 
     logger = logger or init_logger(fs_cfg.log_dir, phase="mptigfs")
+    from gfs3dseg_gws_tpu.data.datasets import (
+        PretrainBlockDataset, TestingDataset, ValSuppDataset)
+    from gfs3dseg_gws_tpu.data.registry import make_registry
+    from gfs3dseg_gws_tpu.data.sampler import LegacyRNG
+    from gfs3dseg_gws_tpu.ops.metrics import gfs_miou
+
     learner = FewShotLearner("mpti", model_cfg, data_cfg, fs_cfg,
                              model_checkpoint_path=model_checkpoint_path)
     model = learner.model
@@ -413,95 +515,64 @@ def mpti_test_gfs(model_cfg, data_cfg, fs_cfg: FewShotConfig,
     all_order = base_classes + novel_classes
     all_names = sorted(all_order)
     n_all = len(all_names)
-    kp = fs_cfg.n_subprototypes
-    max_pts = 200_000
 
-    feat_fn = jax.jit(lambda v, x: model.apply(v, x, False,
-                                               method="get_features"))
+    # ONE legacy stream drives both the base-pass block sampling and the
+    # >200k subsample caps — the reference consumes the single global
+    # np.random stream for both (mpti_learner.py:125-160)
+    rng = LegacyRNG(fs_cfg.seed)
 
-    # 1. base-class prototypes from the full base set
     c2s = {c: reg_train.class2scans[c] for c in base_classes}
     base_ds = PretrainBlockDataset(
         data_cfg.data_path, base_classes, c2s, mode="train",
         num_point=data_cfg.pc_npts, pc_attribs=data_cfg.pc_attribs)
-    per_class = {i: [] for i in range(len(base_classes))}
     n_blocks = min(len(base_ds), max_base_blocks or len(base_ds))
-    for bi in range(n_blocks):
-        pc, lbl, _ = base_ds.__getitem__(bi, rng=np.random.default_rng(bi))
-        feat = np.asarray(feat_fn(variables, jnp.asarray(pc[None])))[0]
-        for i in range(len(base_classes)):
-            mask = lbl == i + 1
-            if mask.sum() > 0:
-                per_class[i].append(feat[mask])
 
-    protos_list, labels_list = [], []
-    rng = np.random.default_rng(fs_cfg.seed)
-    for i, cls in enumerate(base_classes):
-        feat = np.concatenate(per_class[i], axis=0)
-        if feat.shape[0] > max_pts:
-            feat = feat[rng.choice(feat.shape[0], max_pts, replace=False)]
-        protos = np.asarray(multi_prototypes(
-            jnp.asarray(feat), jnp.ones(feat.shape[0]), kp))
-        protos_list.append(protos)
-        lab = np.zeros((kp, n_all))
-        lab[:, cls] = 1
-        labels_list.append(lab)
-        per_class[i] = []
+    def base_blocks():
+        for bi in range(n_blocks):
+            pc, lbl, _ = base_ds.__getitem__(bi, rng=rng)
+            yield pc, lbl
 
-    # 2. novel-class prototypes from the static supports
     supp = ValSuppDataset(data_cfg.data_path, data_cfg.dataset,
                           cvfold=data_cfg.cvfold, k_shot=data_cfg.k_shot,
                           mode="test", num_point=data_cfg.pc_npts,
                           pc_attribs=data_cfg.pc_attribs, seed=10,
                           registry=reg_train)
-    novel_feats = {c: [] for c in novel_classes}
-    for i in range(len(supp)):
-        pcd, mask, cls = supp[i]
-        feat = np.asarray(feat_fn(variables, jnp.asarray(pcd[None])))[0]
-        novel_feats[int(cls)].append(feat[mask == 1])
-    for cls in novel_classes:
-        feat = np.concatenate(novel_feats[cls], axis=0)
-        protos = np.asarray(multi_prototypes(
-            jnp.asarray(feat), jnp.ones(feat.shape[0]), kp))
-        protos_list.append(protos)
-        lab = np.zeros((kp, n_all))
-        lab[:, cls] = 1
-        labels_list.append(lab)
 
-    prototypes = jnp.asarray(np.concatenate(protos_list))
-    proto_labels = jnp.asarray(np.concatenate(labels_list))
-    num_p = prototypes.shape[0]
+    def supp_items():
+        for i in range(len(supp)):
+            pcd, mask, cls = supp[i]
+            yield pcd, mask, cls
 
-    # 3. per-query-block label propagation
     test_c2s = {c: reg_test.class2scans[c] for c in all_names}
     query_ds = TestingDataset(testing_data_path, all_names, all_order,
                               test_c2s, mode="test",
                               num_point=data_cfg.pc_npts,
                               pc_attribs=data_cfg.pc_attribs)
+    n_query = min(len(query_ds), max_query_blocks or len(query_ds))
 
-    @jax.jit
-    def propagate(q_feat):
-        node_feat = jnp.concatenate([prototypes, q_feat], axis=0)
-        y0 = jnp.concatenate(
-            [proto_labels, jnp.zeros((q_feat.shape[0], n_all))], axis=0)
-        a = local_constrained_affinity(node_feat, fs_cfg.k_connect,
-                                       fs_cfg.sigma)
-        z = label_propagate(a, y0)
-        return jnp.argmax(jax.nn.softmax(z[num_p:], -1), axis=-1)
+    def query_blocks():
+        for qi in range(n_query):
+            pcd, label, _ = query_ds[qi]
+            # TestingDataset returns learning-order labels; the chain (and
+            # the reference) scores in class-NAME space
+            yield pcd, np.asarray(all_order)[label]
+
+    feat_jit = jax.jit(lambda v, x: model.apply(v, x, False,
+                                                method="get_features"))
+
+    def feat_fn(pc):
+        return np.asarray(feat_jit(variables, jnp.asarray(pc[None])))[0]
+
+    pred_list, gt_list, _ = mpti_gfs_core(
+        feat_fn, base_blocks(), supp_items(), query_blocks(),
+        base_classes, novel_classes, fs_cfg.n_subprototypes,
+        fs_cfg.k_connect, fs_cfg.sigma, rng.np_rs, n_all)
 
     cm = np.zeros((n_all, n_all), np.float64)
-    n_query = min(len(query_ds), max_query_blocks or len(query_ds))
-    for qi in range(n_query):
-        pcd, label, _ = query_ds[qi]
-        feat = np.asarray(feat_fn(variables, jnp.asarray(pcd[None])))[0]
-        pred = np.asarray(propagate(jnp.asarray(feat)))
-        # labels/preds here are class-NAME ids already (learning order via
-        # TestingDataset is mapped back through all_order)
-        gt_names = np.asarray(all_order)[label]
-        pred_names = pred
-        np.add.at(cm, (gt_names, pred_names), 1)
+    for pred, gt in zip(pred_list, gt_list):
+        np.add.at(cm, (gt, pred), 1)
 
-    scannet = n_all > 13
+        scannet = n_all > 13
     # cm here is already in class-name space -> identity learning order
     mean_iou, base_iou, novel_iou, hm, iou_list = gfs_miou(
         cm, list(range(n_all)), novel_classes, scannet=scannet)

@@ -1,0 +1,398 @@
+"""Reference-oracle pins for the MPTI GFS chain and the FineTune baseline.
+
+Extends tests/test_reference_oracle.py (items j-k) with:
+  (l) MPTI end-to-end: getMutiplePrototypes (FPS seeds + nearest-centre
+      pooling, reference pretrain/models/mpti.py:139-172) against
+      models/mpti.multi_prototypes, and the FULL test_gfs chain
+      (pretrain/models/mpti_learner.py:107-245) — base multi-prototypes
+      from masked block features, novel multi-prototypes from supports,
+      per-query label propagation — against pipelines/baselines.
+      mpti_gfs_core on identical inputs through one converted weight set.
+  (m) FineTune: the inner-loop head training (pretrain/runs/
+      fine_tune.py:21-75) — N Adam steps on the segmenter with the full
+      train-mode forward — against pipelines/baselines.make_finetune_loop:
+      loss trajectory and query predictions on fixed tensors.
+
+The reference's faiss / torch_cluster imports are satisfied by exact numpy
+shims (IndexFlatL2 = brute-force L2 with stable-sorted ties; fps = greedy
+farthest-point from index 0, matching random_start=False). Dropout is set
+to 0 on BOTH sides for (m) so the trajectories are deterministic —
+everything else (train-mode BN stats updates included) runs exactly as in
+production.
+"""
+import math
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_ROOT = "/root/reference"
+
+CIN = 9
+EDGE_WIDTHS = ((16, 16), (16, 16), (16, 16))
+MLP_WIDTHS = (32, 32)
+BASE_WIDTHS = (16, 8)
+OUTPUT_DIM = 8
+FEAT_DIM = 16 + 8 + 8
+
+
+class _IndexFlatL2:
+    def __init__(self, d):
+        self.d = d
+
+    def add(self, X):
+        self.X = np.asarray(X)
+
+    def search(self, Q, k):
+        d = ((np.asarray(Q)[:, None, :] - self.X[None, :, :]) ** 2).sum(-1)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(d, idx, 1), idx
+
+
+def _fps_shim(src, batch, ratio=None, random_start=True):
+    """torch_cluster.fps semantics for a single batch: ceil(ratio*N) seeds
+    by greedy farthest-point selection, start at index 0 when
+    random_start=False (the only mode the reference uses)."""
+    x = src.detach().cpu().numpy().astype(np.float64)
+    n = x.shape[0]
+    k = int(math.ceil(ratio * n))
+    chosen = [0]
+    mind = ((x - x[0]) ** 2).sum(-1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(mind))
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((x - x[nxt]) ** 2).sum(-1))
+    return torch.tensor(chosen, dtype=torch.long)
+
+
+@pytest.fixture(scope="module")
+def ref_mpti():
+    """The reference's REAL pretrain/models/mpti.py + mpti_learner.py with
+    faiss/torch_cluster shims and torch-1.8 pairwise_distance semantics."""
+    import importlib.util as ilu
+    import os
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not available")
+    shims = {
+        "faiss": types.SimpleNamespace(IndexFlatL2=_IndexFlatL2),
+        "torch_cluster": types.SimpleNamespace(fps=_fps_shim),
+    }
+    saved = {k: sys.modules.get(k) for k in shims}
+    sys.modules.update(shims)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, REFERENCE_ROOT + "/pretrain")
+    try:
+        spec = ilu.spec_from_file_location(
+            "_ref_mpti", REFERENCE_ROOT + "/pretrain/models/mpti.py")
+        mpti_mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mpti_mod)
+        # torch>=2 reduces pairwise_distance over the LAST dim; the
+        # reference targets 1.8 (dim=1). Patch the module's F.
+        F_real = mpti_mod.F
+        F_shim = types.SimpleNamespace(**{
+            k: getattr(F_real, k) for k in dir(F_real)
+            if not k.startswith("_")})
+        F_shim.pairwise_distance = (
+            lambda x1, x2, p=2.0, eps=1e-6, keepdim=False:
+            torch.norm(x1 - x2 + eps, p, dim=1, keepdim=keepdim))
+        mpti_mod.F = F_shim
+
+        spec2 = ilu.spec_from_file_location(
+            "_ref_mpti_learner",
+            REFERENCE_ROOT + "/pretrain/models/mpti_learner.py")
+        learner_mod = ilu.module_from_spec(spec2)
+        # learner imports `from models.mpti import ...`; alias our loaded
+        # module so both use the shimmed copy
+        saved_mm = sys.modules.get("models.mpti")
+        sys.modules["models.mpti"] = mpti_mod
+        try:
+            spec2.loader.exec_module(learner_mod)
+        finally:
+            if saved_mm is None:
+                sys.modules.pop("models.mpti", None)
+            else:
+                sys.modules["models.mpti"] = saved_mm
+    finally:
+        sys.path.remove(REFERENCE_ROOT + "/pretrain")
+    yield mpti_mod, learner_mod
+    torch.Tensor.cuda = orig_cuda
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+
+
+def test_multi_prototypes_matches_reference(ref_mpti):
+    """(l) getMutiplePrototypes: FPS seeds (sorted like fps().unique()) +
+    nearest-seed mean pooling."""
+    from gfs3dseg_gws_tpu.models.mpti import multi_prototypes
+
+    mpti_mod, _ = ref_mpti
+    gen = np.random.default_rng(7)
+    n, d, k = 250, 12, 25
+    feat = gen.standard_normal((n, d)).astype(np.float32)
+    self_shim = types.SimpleNamespace(feat_dim=d)
+    ref = mpti_mod.MultiPrototypeTransductiveInference.getMutiplePrototypes(
+        self_shim, torch.from_numpy(feat), k)
+    ours = multi_prototypes(jnp.asarray(feat), jnp.ones((n,)), k)
+    assert ref.shape == tuple(ours.shape) == (k, d)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=2e-5,
+                               atol=2e-5)
+
+    # k >= n: reference returns feat unchanged; ours pads with duplicates —
+    # the documented deviation; the shared prefix must still agree
+    small = feat[:10]
+    ref2 = mpti_mod.MultiPrototypeTransductiveInference.getMutiplePrototypes(
+        self_shim, torch.from_numpy(small), 25)
+    np.testing.assert_allclose(ref2.numpy(), small, atol=0)
+
+
+def _converted_fewshot_weights(ref_model):
+    """Reference MPTI model state_dict -> our FewShotEncoder variables."""
+    from gfs3dseg_gws_tpu.utils.checkpoint import (
+        convert_torch_attention,
+        convert_torch_base_learner,
+        convert_torch_dgcnn_encoder,
+    )
+
+    sd = ref_model.state_dict()
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    enc_p, enc_s = convert_torch_dgcnn_encoder(enc_sd)
+    bl_p, bl_s = convert_torch_base_learner(sd)
+    return {
+        "params": {"feat": {"encoder": enc_p, "base_learner": bl_p,
+                            "att_learner": convert_torch_attention(sd)}},
+        "batch_stats": {"feat": {"encoder": enc_s, "base_learner": bl_s}},
+    }
+
+
+def test_mpti_test_gfs_chain_matches_reference(ref_mpti):
+    """(l) the full GFS-MPTI chain on identical tiny inputs: base/novel
+    multi-prototypes + per-query label propagation + predictions.
+
+    Both sides consume BIT-IDENTICAL features (a fixed tanh projection
+    computed once in numpy) — the encoder/feature path is pinned
+    separately (TestProtoNetOracle uses the same FewShotEncoder
+    conversion); a kNN graph + matrix solve amplifies sub-1e-3 feature
+    deviations into label flips, so the chain logic is pinned on exact
+    shared inputs."""
+    from gfs3dseg_gws_tpu.pipelines.baselines import mpti_gfs_core
+
+    mpti_mod, learner_mod = ref_mpti
+    n_pts = 128
+    d = 24
+    # the reference's test_gfs hard-codes k=100 prototypes per class
+    # (mpti_learner.py:160,208); feed >100 features per class so both
+    # sides produce exactly 100
+    kp, k_connect = 100, 16
+    base_classes = [0, 1, 2]
+    novel_classes = [3, 4]
+    n_all = 5
+
+    gen = np.random.default_rng(31)
+    proj = gen.standard_normal((CIN, d)).astype(np.float32)
+
+    def feat_np(pc):
+        return np.tanh(pc.astype(np.float32) @ proj)
+
+    base_blocks = []
+    for _ in range(12):
+        pc = gen.standard_normal((n_pts, CIN)).astype(np.float32)
+        lbl = gen.integers(0, len(base_classes) + 1, n_pts)
+        base_blocks.append((pc, lbl))
+    supp_items = []
+    for cls in novel_classes:
+        for _ in range(4):
+            pcd = gen.standard_normal((n_pts, CIN)).astype(np.float32)
+            mask = (gen.random(n_pts) > 0.5).astype(np.float32)
+            mask[:8] = 1.0  # never empty
+            supp_items.append((pcd, mask, cls))
+    query_blocks = []
+    for _ in range(3):
+        pcd = gen.standard_normal((n_pts, CIN)).astype(np.float32)
+        lbl = gen.integers(0, n_all, n_pts)
+        query_blocks.append((pcd, lbl.astype(np.int64)))
+
+    # ---- reference: MPTILearner.test_gfs with a minimal fake self -------
+    class _FakeModel:
+        feat_dim = d
+        sigma = 1.0
+
+        def eval(self):
+            pass
+
+        def getFeatures(self, x):
+            pc = x[0].numpy().T                              # (N, C)
+            return torch.from_numpy(feat_np(pc).T[None])     # (1, d, N)
+
+    fake_model = _FakeModel()
+    cls_ref = mpti_mod.MultiPrototypeTransductiveInference
+    fake_model.getMutiplePrototypes = (
+        lambda feat, k: cls_ref.getMutiplePrototypes(fake_model, feat, k))
+    fake_model.calculateLocalConstrainedAffinity = (
+        lambda node_feat, k=200, method="gaussian":
+        cls_ref.calculateLocalConstrainedAffinity(fake_model, node_feat,
+                                                  k, method))
+    fake_model.label_propagate = (
+        lambda A, Y, alpha=0.99: cls_ref.label_propagate(fake_model, A, Y,
+                                                         alpha))
+    fake_self = types.SimpleNamespace(model=fake_model)
+
+    def to_loader_base():
+        return [(torch.from_numpy(pc.T[None].copy()).float(),
+                 torch.from_numpy(lbl[None]).float())
+                for pc, lbl in base_blocks]
+
+    def to_loader_supp():
+        return [(torch.from_numpy(pcd.T[None].copy()).float(),
+                 torch.from_numpy(mask[None]).float(),
+                 torch.tensor([cls]))
+                for pcd, mask, cls in supp_items]
+
+    def to_loader_query():
+        return [(torch.from_numpy(pcd.T[None].copy()).float(),
+                 torch.from_numpy(lbl[None]))
+                for pcd, lbl in query_blocks]
+
+    with torch.no_grad():
+        ref_preds, ref_gts, ref_protos =             learner_mod.MPTILearner.test_gfs(
+                fake_self, to_loader_base(), to_loader_supp(),
+                to_loader_query(), base_classes, novel_classes,
+                list(range(n_all)), k_connect, log_dir=None, iter=0)
+
+    # ---- ours: the same arrays + the same features through the core -----
+    our_preds, our_gts, our_protos = mpti_gfs_core(
+        feat_np, base_blocks, supp_items, query_blocks,
+        base_classes, novel_classes, kp, k_connect, 1.0,
+        np.random.RandomState(0), n_all)
+
+    for cls in base_classes:
+        np.testing.assert_allclose(
+            our_protos[cls], ref_protos[cls], rtol=2e-4, atol=2e-4,
+            err_msg=f"base class {cls} prototypes differ")
+    assert len(our_preds) == len(ref_preds) == len(query_blocks)
+    for i, (ours, ref) in enumerate(zip(our_preds, ref_preds)):
+        ref_np = ref.numpy()[0]
+        agree = (np.asarray(ours) == ref_np).mean()
+        assert agree >= 0.995, (
+            f"query {i}: only {agree:.3f} of propagated labels agree")
+        np.testing.assert_array_equal(our_gts[i], ref_gts[i].numpy()[0])
+
+
+@pytest.fixture(scope="module")
+def ref_pretrain_seg():
+    import importlib.util as ilu
+    import os
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not available")
+    if "transforms3d" not in sys.modules:
+        sys.modules["transforms3d"] = types.ModuleType("transforms3d")
+    sys.path.insert(0, REFERENCE_ROOT + "/pretrain")
+    try:
+        s = ilu.spec_from_file_location(
+            "_ref_pre_train_ft", REFERENCE_ROOT + "/pretrain/runs/pre_train.py")
+        mod = ilu.module_from_spec(s)
+        s.loader.exec_module(mod)
+    finally:
+        sys.path.remove(REFERENCE_ROOT + "/pretrain")
+    return mod
+
+
+def test_finetune_inner_loop_matches_reference(ref_pretrain_seg):
+    """(m) FineTune: N segmenter-only Adam steps on fixed support tensors
+    (full train-mode forward, BN stats updating) then eval-mode query
+    predictions — loss trajectory and predictions must track the
+    reference's (dropout 0 on both sides for determinism)."""
+    from gfs3dseg_gws_tpu.pipelines.baselines import make_finetune_loop
+    from gfs3dseg_gws_tpu.utils.checkpoint import (
+        convert_torch_dgcnn_encoder,
+        convert_torch_segmenter,
+    )
+
+    n_way, k_shot, n_pts, kk, n_iters, lr = 2, 2, 128, 8, 8, 1e-3
+    n_cls = n_way + 1
+    args = types.SimpleNamespace(
+        edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
+        dgcnn_mlp_widths=list(MLP_WIDTHS), pc_in_dim=CIN, dgcnn_k=kk)
+    torch.manual_seed(11)
+    ref = ref_pretrain_seg.DGCNNSeg(args, n_cls)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    sd = ref.state_dict()
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    enc_p, enc_s = convert_torch_dgcnn_encoder(enc_sd)
+    seg_p, seg_s = convert_torch_segmenter(sd)
+    # deep-copy: the converters may return numpy views of the torch
+    # storage, which the reference training loop below mutates in place
+    params, batch_stats = jax.tree.map(
+        lambda a: np.array(a, copy=True),
+        ({"encoder": enc_p, "segmenter": seg_p},
+         {"encoder": enc_s, "segmenter": seg_s}))
+
+    gen = np.random.default_rng(77)
+    sx = gen.standard_normal((n_way * k_shot, n_pts, CIN)).astype(np.float32)
+    sy = gen.integers(0, n_cls, (n_way * k_shot, n_pts)).astype(np.int64)
+    qx = gen.standard_normal((2, n_pts, CIN)).astype(np.float32)
+    qy = gen.integers(0, n_cls, (2, n_pts)).astype(np.int64)
+
+    # ---- reference FineTuner loop (fine_tune.py:40-75) ------------------
+    ref.train()
+    opt = torch.optim.Adam(ref.segmenter.parameters(), lr=lr)
+    t_sx = torch.from_numpy(sx.transpose(0, 2, 1))
+    t_sy = torch.from_numpy(sy)
+    ref_losses = []
+    for _ in range(n_iters):
+        logits = ref(t_sx)
+        loss = torch.nn.functional.cross_entropy(logits, t_sy)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+    ref.eval()
+    with torch.no_grad():
+        t_qlogits = ref(torch.from_numpy(qx.transpose(0, 2, 1)))
+        t_qpred = t_qlogits.softmax(1).argmax(1).numpy()
+
+    # ---- ours: the production inner loop --------------------------------
+    model_cfg = types.SimpleNamespace(
+        edgeconv_widths=EDGE_WIDTHS, dgcnn_mlp_widths=MLP_WIDTHS,
+        dgcnn_k=kk, use_pallas=False)
+    fs_cfg = types.SimpleNamespace(lr=lr)
+    _, tx, inner_step, test_step = make_finetune_loop(
+        model_cfg, fs_cfg, n_cls, dropout=0.0)
+    opt_state = tx.init(params)
+    j_sx = jnp.asarray(sx)
+    j_sy = jnp.asarray(sy.astype(np.int32))
+    our_losses = []
+    for i in range(n_iters):
+        params, batch_stats, opt_state, loss = inner_step(
+            params, batch_stats, opt_state, j_sx, j_sy,
+            jax.random.PRNGKey(i))
+        our_losses.append(float(loss))
+    pred, _ = test_step(params, batch_stats, jnp.asarray(qx),
+                        jnp.asarray(qy.astype(np.int32)))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-3)
+    # after N optimisation steps the fp drift between frameworks moves a
+    # few boundary points (measured ~1.6% at 8 iters); the logits
+    # themselves must stay close
+    agree = (np.asarray(pred) == t_qpred).mean()
+    assert agree >= 0.97, f"query predictions agree only {agree:.4f}"
