@@ -30,9 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "collect_scannet_data.py)")
     c.add_argument("--data_path", required=True, help="scans directory")
     c.add_argument("--out_root", required=True)
-    c.add_argument("--tsv_path", required=True,
-                   help="scannetv2-labels.combined.tsv")
-    c.add_argument("--val_list", required=True, help="scannetv2_val.txt")
+    c.add_argument("--tsv_path", default=None,
+                   help="scannetv2-labels.combined.tsv (default: the "
+                        "vendored canonical copy)")
+    c.add_argument("--val_list", default=None,
+                   help="scannetv2_val.txt (default: the vendored "
+                        "canonical v2 split)")
 
     b = sub.add_parser("room2blocks",
                        help="Split scenes into 1m XY blocks (reference "
@@ -67,8 +70,7 @@ def main(argv=None):
         with open(os.path.join(args.out_root, "meta",
                                "scannet_classnames.txt"), "w") as f:
             f.write("\n".join(SCANNET_CLASSNAMES) + "\n")
-        with open(args.val_list) as f:
-            val = [line.strip() for line in f if line.strip()]
+        val = pp.load_scannet_val_scenes(args.val_list)
         written = pp.collect_scannet(args.data_path, args.out_root,
                                      SCANNET_CLASSNAMES, args.tsv_path, val)
         print(f"collected {len(written)} scenes")

@@ -119,6 +119,28 @@ def collect_s3dis(data_path: str, out_root: str, classnames: Sequence[str],
 # ScanNet collection (reference collect_scannet_data.py:16-177)
 # --------------------------------------------------------------------------- #
 
+META_DIR = os.path.join(os.path.dirname(__file__), "meta")
+
+
+def scannet_meta_paths():
+    """The vendored canonical ScanNet meta artifacts: the v2 val-scene list
+    (312 scenes) and the raw-label -> nyu40 tsv — the same files the
+    reference ships (pretrain/datasets/ScanNet/meta/scannetv2_val.txt,
+    scannetv2-labels.combined.tsv), so reproducing the reference's exact
+    train/val split needs no user-supplied files beyond the raw scans.
+    Returns (tsv_path, val_txt_path)."""
+    return (os.path.join(META_DIR, "scannetv2-labels.combined.tsv"),
+            os.path.join(META_DIR, "scannetv2_val.txt"))
+
+
+def load_scannet_val_scenes(path: str | None = None):
+    """Scene names of the canonical ScanNet v2 validation split."""
+    if path is None:
+        path = scannet_meta_paths()[1]
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
 def load_scannet_label_map(tsv_path: str, classnames: Sequence[str]
                            ) -> Dict[str, int]:
     """raw category -> class index via the nyu40class column of
@@ -197,10 +219,16 @@ def collect_scannet_scene(scene_dir: str, scene_name: str,
 
 
 def collect_scannet(scans_dir: str, out_root: str, classnames: Sequence[str],
-                    tsv_path: str, val_scenes: Sequence[str]) -> List[str]:
+                    tsv_path: str | None = None,
+                    val_scenes: Sequence[str] | None = None) -> List[str]:
     """Collect every scan; scenes listed in scannetv2_val.txt go to
     test_data, the rest to train_data (reference collect_scannet_data.py:
-    142-176)."""
+    142-176). tsv_path/val_scenes default to the vendored canonical meta
+    artifacts (scannet_meta_paths)."""
+    if tsv_path is None:
+        tsv_path = scannet_meta_paths()[0]
+    if val_scenes is None:
+        val_scenes = load_scannet_val_scenes()
     label_map = load_scannet_label_map(tsv_path, classnames)
     val_set = set(val_scenes)
     written = []

@@ -32,16 +32,21 @@ def kmeans_plus_plus_init(rng: np.random.Generator, x: np.ndarray, k: int,
     centers[0] = x[rng.integers(n)]
     # matmul distance form |c|^2 + |x|^2 - 2 c.x: the naive broadcast
     # difference was ~70 G element-ops at k=180/n=100k (measured 411 s in
-    # the full-size ScanNet get_basis); BLAS brings seeding to ~2 s
-    xx = np.einsum("nd,nd->n", x, x)
-    closest = np.maximum(xx - 2.0 * (x @ centers[0]) + centers[0] @ centers[0],
-                         0.0)
+    # the full-size ScanNet get_basis); BLAS brings seeding to ~2 s.
+    # Accumulated in float64: the f32 cancellation for near-duplicate /
+    # high-norm points (masked by the clamp to 0) would slightly perturb
+    # the D^2 sampling distribution vs the exact difference form
+    # (advisor r2); the f64 matmul cost is negligible next to the speedup.
+    x64 = x.astype(np.float64)
+    xx = np.einsum("nd,nd->n", x64, x64)
+    c0 = centers[0].astype(np.float64)
+    closest = np.maximum(xx - 2.0 * (x64 @ c0) + c0 @ c0, 0.0)
     for i in range(1, k):
         pot = closest.sum()
         cand = rng.choice(n, n_trials, p=closest / pot)
-        xc = x[cand]                                         # (T, D)
+        xc = x64[cand]                                       # (T, D)
         d_cand = np.maximum(
-            xx[None, :] - 2.0 * (xc @ x.T)
+            xx[None, :] - 2.0 * (xc @ x64.T)
             + np.einsum("td,td->t", xc, xc)[:, None], 0.0)   # (T, n)
         new_closest = np.minimum(closest[None, :], d_cand)
         best = new_closest.sum(-1).argmin()

@@ -464,7 +464,8 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
 
 def load_base_coding(save_path: str, energy: float,
                      extra_dirs: Sequence[str] = (),
-                     logger: Optional[IOStream] = None
+                     logger: Optional[IOStream] = None,
+                     prefixes: Sequence[str] = ("",)
                      ) -> Optional[np.ndarray]:
     """Locate a saved base-class coding artifact.
 
@@ -476,29 +477,33 @@ def load_base_coding(save_path: str, energy: float,
     to the weights being evaluated) take priority over `save_path`, so a
     stale recomputed .npz in a reused save_path cannot shadow the artifact
     shipped next to the checkpoint; within a directory .npz wins over
-    .pth. Returns None if no artifact exists.
+    .pth. `prefixes` are tried in order — an hm-checkpoint caller passes
+    ("hm_", "") because best-hm checkpoints ship their coding as
+    `hm_base_class_gp_coding_energy={e}` (train.py:582-584, mirrored by
+    our _maybe_save). Returns None if no artifact exists.
     """
     dirs = []
     for d in list(extra_dirs) + [save_path]:
         if d and d not in dirs:
             dirs.append(d)
     for d in dirs:
-        for ext in (".npz", ".pth"):
-            path = os.path.join(
-                d, f"base_class_gp_coding_energy={energy}{ext}")
-            if not os.path.exists(path):
-                continue
-            if ext == ".npz":
-                with np.load(path) as z:
-                    coding = z["coding"]
-            else:
-                from gfs3dseg_gws_tpu.utils.checkpoint import \
-                    load_torch_coding
-                coding = load_torch_coding(path)
-            if logger:
-                logger.cprint(
-                    f"---- loading base_class_coding from {path} ----")
-            return np.asarray(coding, np.float32)
+        for pref in prefixes:
+            for ext in (".npz", ".pth"):
+                path = os.path.join(
+                    d, f"{pref}base_class_gp_coding_energy={energy}{ext}")
+                if not os.path.exists(path):
+                    continue
+                if ext == ".npz":
+                    with np.load(path) as z:
+                        coding = z["coding"]
+                else:
+                    from gfs3dseg_gws_tpu.utils.checkpoint import \
+                        load_torch_coding
+                    coding = load_torch_coding(path)
+                if logger:
+                    logger.cprint(
+                        f"---- loading base_class_coding from {path} ----")
+                return np.asarray(coding, np.float32)
     return None
 
 
@@ -531,10 +536,14 @@ def evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         variables = restore_into(variables, flat)
 
     n_base = len(setup.train_class_names)
+    ckpt_name = os.path.basename(train_cfg.model_checkpoint_path)
+    # best-hm checkpoints ship their coding under the hm_ prefix
+    # (reference train.py:582-584) — prefer it for train_hm_* checkpoints
+    prefixes = ("hm_", "") if ckpt_name.startswith("train_hm_") else ("",)
     base_coding = load_base_coding(
         train_cfg.save_path, train_cfg.energy,
         extra_dirs=[os.path.dirname(train_cfg.model_checkpoint_path)],
-        logger=logger)
+        logger=logger, prefixes=prefixes)
     if base_coding is None:
         logger.cprint(f"---- recompute base_class_coding, "
                       f"energy={train_cfg.energy} ----")

@@ -158,3 +158,48 @@ def test_preprocess_cli_end_to_end(tmp_path):
     assert os.listdir(blocks)
     block = np.load(os.path.join(blocks, os.listdir(blocks)[0]))
     assert block.shape[1] == 7
+
+
+def test_collect_scannet_canonical_split_default(tmp_path):
+    """collect_scannet with NO user-supplied meta reproduces the canonical
+    v2 split from the vendored artifacts: a scene named in the vendored
+    scannetv2_val.txt lands in test_data, others in train_data."""
+    from gfs3dseg_gws_tpu.data.preprocess import (
+        collect_scannet,
+        load_scannet_val_scenes,
+        scannet_meta_paths,
+    )
+    from gfs3dseg_gws_tpu.data.registry import SCANNET_CLASSNAMES
+
+    tsv, val_txt = scannet_meta_paths()
+    assert os.path.exists(tsv) and os.path.exists(val_txt)
+    val_scenes = load_scannet_val_scenes()
+    assert len(val_scenes) == 312  # canonical v2 validation split
+
+    scans = tmp_path / "scans"
+    val_name = val_scenes[0]
+    train_name = "scene9999_00"
+    assert train_name not in val_scenes
+    rng = np.random.default_rng(4)
+    for scene in (val_name, train_name):
+        sdir = os.path.join(str(scans), scene)
+        os.makedirs(sdir)
+        n = 40
+        xyz = rng.uniform(0, 2, (n, 3)).astype(np.float32)
+        rgb = rng.integers(0, 256, (n, 3))
+        _write_ply(os.path.join(sdir, f"{scene}_vh_clean_2.ply"), xyz, rgb)
+        with open(os.path.join(
+                sdir, f"{scene}_vh_clean_2.0.010000.segs.json"), "w") as f:
+            json.dump({"segIndices": [i // 20 for i in range(n)]}, f)
+        with open(os.path.join(sdir,
+                               f"{scene}.aggregation.json"), "w") as f:
+            json.dump({"segGroups": [{"label": "wall", "segments": [0]},
+                                     {"label": "chair", "segments": [1]}]},
+                      f)
+    out_root = str(tmp_path / "out")
+    written = collect_scannet(str(scans), out_root, SCANNET_CLASSNAMES)
+    assert len(written) == 2
+    assert os.path.exists(os.path.join(out_root, "scenes", "test_data",
+                                       f"{val_name}.npy"))
+    assert os.path.exists(os.path.join(out_root, "scenes", "train_data",
+                                       f"{train_name}.npy"))
