@@ -261,14 +261,15 @@ def neighbor_stats_xla(idx: jax.Array, btab: jax.Array):
     `knn_with_stats`, which reuses the extraction equality masks.
     """
     b, n, k = idx.shape
-    c = btab.shape[-1]
-    flat = idx.reshape(b, n * k)
-    cnt = jnp.zeros((b, n), btab.dtype)
-    cnt = jax.vmap(lambda cc, ii: cc.at[ii].add(1.0))(cnt, flat)
-    src = jnp.repeat(btab, k, axis=1)                       # (B, N*K, C)
-    scb = jnp.zeros((b, n, c), btab.dtype)
-    scb = jax.vmap(lambda ss, ii, vv: ss.at[ii].add(vv))(scb, flat, src)
-    return cnt[:, None, :], scb
+    # multi-hot accumulation (k one-hot matmuls) instead of scatter-add —
+    # XLA lowers scatters poorly on TPU, and this fallback IS the TPU path
+    # below the Pallas gate (n < 2048, e.g. the N=512 CLI drives)
+    mh = jnp.zeros((b, n, n), btab.dtype)
+    for kk in range(k):
+        mh = mh + jax.nn.one_hot(idx[:, :, kk], n, dtype=btab.dtype)
+    cnt = jnp.sum(mh, axis=1, keepdims=True)                # (B, 1, N)
+    scb = jnp.einsum("bqn,bqc->bnc", mh, btab)              # (B, N, C)
+    return cnt, scb
 
 
 def _knn_stats_kernel(x_tile_ref, x_all_ref, btab_ref, out_ref, cnt_ref,

@@ -225,3 +225,33 @@ class TestLabelPropagation:
         s = dmh @ a @ dmh
         ref = np.linalg.inv(np.eye(m) - 0.99 * s + eps) @ y
         np.testing.assert_allclose(z, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestKnnWithStats:
+    """knn_with_stats: indices match knn_indices; cnt/scb match the exact
+    XLA computation (kernel validated via Pallas interpret mode on CPU)."""
+
+    def test_stats_fallback_and_kernel_agree(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from gfs3dseg_gws_tpu.ops.knn import (
+            _knn_stats_pallas,
+            _knn_xla,
+            neighbor_stats_xla,
+        )
+
+        b, n, c, k = 2, 256, 8, 5
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, n, c))
+        btab = jax.random.normal(jax.random.PRNGKey(1), (b, n, c))
+        idx = _knn_xla(x, k)
+        cnt_x, scb_x = neighbor_stats_xla(idx, btab)
+        assert float(cnt_x.sum()) == b * n * k
+        with pltpu.force_tpu_interpret_mode():
+            idx_p, cnt_p, scb_p = _knn_stats_pallas(x, btab, k, tile_q=128)
+        # packed-key extraction may swap exact ties only; on random data
+        # the indices agree outright
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx))
+        np.testing.assert_allclose(np.asarray(cnt_p), np.asarray(cnt_x),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(scb_p), np.asarray(scb_x),
+                                   rtol=1e-5, atol=1e-5)
