@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_checkpoint_path", type=str, default="")
     p.add_argument("--model_checkpoint_path", type=str, default="")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--eval_batch_size", type=int, default=0,
+                   help="validation sweep batch (0 = auto: 256 on TPU; "
+                        "results are batch-invariant, larger batches "
+                        "amortise dispatch latency)")
     p.add_argument("--step_size", type=int, default=50)
     p.add_argument("--gamma", type=float, default=0.5)
     add_pc_args(p)
@@ -65,6 +69,7 @@ def main(argv=None):
     data_cfg = data_config_from_args(args)
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size,
         base_lr=args.base_lr,
         epochs=args.epochs,
         start_epoch=args.start_epoch,

@@ -462,6 +462,20 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
                      scannet=scannet) for s in range(n_seeds)]
 
 
+def _eval_batch_size(train_cfg) -> int:
+    """Evaluation sweep batch: eval results are batch-invariant (per-block
+    forward + padded confusion masking), but through the axon tunnel the
+    sweep is dispatch-latency bound at small batches (measured 497/806/1071
+    blocks/s at bs 64/128/256). 0 = auto: 256 on TPU, batch_size elsewhere;
+    --eval_batch_size overrides."""
+    ebs = getattr(train_cfg, "eval_batch_size", 0)
+    if ebs:
+        return ebs
+    if jax.default_backend() == "tpu":
+        return max(train_cfg.batch_size, 256)
+    return train_cfg.batch_size
+
+
 def load_base_coding(save_path: str, energy: float,
                      extra_dirs: Sequence[str] = (),
                      logger: Optional[IOStream] = None,
@@ -575,8 +589,8 @@ def evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         setup.model, variables, setup.gp, setup.val_dataset,
         np.stack(geneds), base_coding, np.stack(novel_codings),
         setup.all_learning_order, setup.test_class_names,
-        len(setup.all_class_names), train_cfg.batch_size, mesh, scannet,
-        logger)
+        len(setup.all_class_names), _eval_batch_size(train_cfg), mesh,
+        scannet, logger)
     sums = np.zeros(4)
     iou_lists = []
     for m in metrics:
@@ -725,7 +739,7 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                 setup.model, variables_now, setup.gp, setup.val_dataset,
                 gened, base_coding, novel_coding, setup.all_learning_order,
                 setup.test_class_names, len(setup.all_class_names),
-                train_cfg.batch_size, mesh, scannet, logger)
+                _eval_batch_size(train_cfg), mesh, scannet, logger)
             logger.cprint(
                 f"Epoch: {epoch}, Final mIoU: {mean_iou}, BASE: {base_iou}, "
                 f"NOVEL: {novel_iou}, hm: {hm}")

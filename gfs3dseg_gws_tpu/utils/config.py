@@ -80,6 +80,9 @@ class TrainConfig:
     """Optimization schedule (reference: train.py:738-746,773-778,815-816)."""
 
     batch_size: int = 16
+    eval_batch_size: int = 0       # 0 = auto: 256 on TPU (dispatch-latency
+                                   # amortisation, results are batch-
+                                   # invariant), else batch_size
     base_lr: float = 0.01
     encoder_lr_scale: float = 0.1  # encoder param group: 0.1x base_lr (train.py:428)
     epochs: int = 150

@@ -87,3 +87,28 @@ def test_full_chain(chain):
     for key in ("mean_iou", "base_iou", "novel_iou", "hm_iou"):
         assert np.isfinite(metrics[key]), key
     assert len(metrics["per_class"]) == 13
+
+
+def test_load_base_coding_prefix_preference(tmp_path):
+    """hm-checkpoint evaluation prefers the hm_-prefixed coding artifact
+    (reference saves best-hm codings as hm_base_class_gp_coding_energy={e},
+    train.py:582-584); plain checkpoints keep the unprefixed name."""
+    import numpy as np
+
+    from gfs3dseg_gws_tpu.pipelines.gfs import load_base_coding
+
+    d = str(tmp_path)
+    plain = np.ones((3, 5), np.float32)
+    hm = np.full((3, 5), 2.0, np.float32)
+    np.savez(f"{d}/base_class_gp_coding_energy=0.9.npz", coding=plain)
+    np.savez(f"{d}/hm_base_class_gp_coding_energy=0.9.npz", coding=hm)
+
+    got_plain = load_base_coding(d, 0.9)
+    np.testing.assert_array_equal(got_plain, plain)
+    got_hm = load_base_coding(d, 0.9, prefixes=("hm_", ""))
+    np.testing.assert_array_equal(got_hm, hm)
+    # hm_ preferred but falls back to unprefixed when absent
+    import os
+    os.remove(f"{d}/hm_base_class_gp_coding_energy=0.9.npz")
+    got_fb = load_base_coding(d, 0.9, prefixes=("hm_", ""))
+    np.testing.assert_array_equal(got_fb, plain)
