@@ -192,6 +192,11 @@ def _knn_fold_kernel(x_tile_ref, x_all_ref, out_ref, f_ref, cols_ref, *,
 
 def _knn_pallas_fold(x: jax.Array, k: int, tile_q: int = 512,
                      folds: int = 4) -> jax.Array:
+    """MEASURED NEGATIVE RESULT — not wired into knn_indices. Bit-identical
+    to _knn_pallas but 1.74/1.89 ms vs 1.44 ms at (16, 2048, 64, K=20) for
+    folds 2/4: the cascade's folds x read/write per round outweighs the
+    narrower min-reduce (docs/ARCHITECTURE.md negative-results list). Kept
+    compilable so the measurement can be reproduced."""
     b, n, c = x.shape
     tile_q = min(tile_q, n)
     if n % tile_q != 0 or n < 2048 or (n // folds) % 128 != 0:
