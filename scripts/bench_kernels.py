@@ -5,7 +5,7 @@ Times each Pallas kernel of the train pipeline at production shapes
 bench.py (axon tunnel: host transfer = the only true sync; loop bodies must
 depend on the index or XLA hoists them).
 
-Usage: python scripts/bench_kernels.py [--batch 16] [--which knn,gs,sf,bwd]
+Usage: python scripts/bench_kernels.py [--batch 16] [--which knn,stats,gsf,bwd]
 """
 
 import os as _os
@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--npts", type=int, default=2048)
     ap.add_argument("--cin", type=int, default=64)
-    ap.add_argument("--which", type=str, default="knn,g2,sf,bwd")
+    ap.add_argument("--which", type=str, default="knn,stats,gsf,bwd")
     args = ap.parse_args()
     b, n, c, k = args.batch, args.npts, args.cin, 20
     which = set(args.which.split(","))
@@ -82,18 +82,16 @@ def main():
     if "knnx" in which:
         t = timed_loop(lambda xx: knn_mod._knn_xla(xx, k).astype(jnp.float32), x)
         print(f"knn_xla           {t*1e3:8.3f} ms/call")
-    if "g2" in which:
-        tbl = jnp.concatenate([a, a * a], axis=-1)
-        t = timed_loop(lambda tb: fet._g2_pallas(tb, idxt, k, 256, 5, dt)[1],
-                       tbl)
-        print(f"g2 (gather+sums)  {t*1e3:8.3f} ms/call   x3 = {3*t*1e3:6.2f} ms")
-    nbr = fet._g2_pallas(jnp.concatenate([a, a * a], axis=-1), idxt, k, 256,
-                         5, dt)[0]
-    if "sf" in which:
+    if "stats" in which:
+        t = timed_loop(lambda xx, bb: knn_mod._knn_stats_pallas(
+            xx, bb, k)[1], x, bt)
+        print(f"knn_with_stats    {t*1e3:8.3f} ms/call   x3 = {3*t*1e3:6.2f} ms")
+    if "gsf" in which:
         t = timed_loop(
-            lambda nn, bb: fet._sf_pallas(nn, bb, s1, t1, w2, k, 256,
-                                          0.2, 5, dt)[:2], nbr, bt)
-        print(f"sf (fwd max/min)  {t*1e3:8.3f} ms/call   x3 = {3*t*1e3:6.2f} ms")
+            lambda aa, bb: fet._gsf_pallas(aa, bb, idxt, s1, t1, w2, k, 256,
+                                           0.2, 5, dt)[1], a, bt)
+        print(f"gsf (gather+fwd)  {t*1e3:8.3f} ms/call   x3 = {3*t*1e3:6.2f} ms")
+    nbr = fet._gsf_pallas(a, bt, idxt, s1, t1, w2, k, 256, 0.2, 5, dt)[0]
     if "bwd" in which:
         t = timed_loop(
             lambda nn, bb, gg: fet._bwd_pallas(nn, bb, idxt, p1, w2, gg, ksel,
