@@ -9,45 +9,49 @@ train-mode BatchNorm) is, per block:
     out = max_k leaky(bn2_batch(z1))
 
 The unfused path materialises the (B, N, K, C) edge tensor ~4x forward and
-again backward — pure HBM traffic.  BatchNorm batch statistics need TWO
-global reductions (bn2's input depends on bn1's stats), so the op is three
-Pallas passes wrapped in one `custom_vjp`:
+again backward — pure HBM traffic.  Here the edge tensor never exists and
+the gather happens ONCE.  BatchNorm batch statistics need TWO global
+reductions (bn2's input depends on bn1's stats); the e0 stats come for
+free from the kNN kernel's neighbour statistics (ops/knn.knn_with_stats:
+the post-extraction key buffer IS the multi-hot, yielding the in-degrees
+cnt_j and the transposed b-scatter scB_j), because e0 = a_j + b_i
+separates and only GLOBAL sums matter:
+    sum_edges a_j = sum_j cnt_j a_j,  sum_edges a_j b_i = sum_j a_j scB_j.
+With mu1/var1 (hence the bn1 affine) known BEFORE any gather, the op is
+two Pallas passes wrapped in one `custom_vjp`:
 
-  fwd G   the ONLY one-hot gather: per k-round one-hot rows against the
-          2C-wide table [a | a*a] (a full 128-lane MXU output — a 64-wide
-          gather runs at half MXU width).  Emits the gathered neighbour
-          features nbr = a[idx] (B, K, N, C) as an HBM residual (~170 MB,
-          ~0.2 ms of HBM traffic at production shapes — cheaper than ONE
-          repeated gather) and the per-query sums sum_k a[idx] /
-          sum_k a^2[idx] that determine the e0 batch stats (e0 = a_j + b_i
-          separates, so E[e0] / E[e0^2] need only these).
-  fwd SF  gather-free: reads nbr back, computes h1 -> z1 = h1 @ W2,
-          accumulating sum(h1), h1^T h1 (bn2 stats via E[(h1 W2)^2] =
-          diag(W2^T E[h1h1^T] W2)) and running max_k/min_k z1 with arg
-          slots.  bn2+leaky is monotone per channel (the sign of
-          gamma2*inv2 picks max vs min), so the block output is an XLA
-          epilogue on (B, N, W1).
+  fwd GSF the ONLY one-hot gather: per k-round one-hot rows against `a`
+          on the MXU.  Emits nbr = a[idx] (B, K, N, C) as a LOSSLESS bf16
+          HBM residual (each element is exactly one bf16 table entry;
+          ~85 MB, ~0.2 ms of traffic — far cheaper than ONE repeated
+          gather) plus the per-query sums sum_k a[idx] (for db), and in
+          the same pass h1 -> z1 = h1 @ W2, accumulating sum(h1), h1^T h1
+          (bn2 stats via E[(h1 W2)^2] = diag(W2^T E[h1h1^T] W2)) and
+          running max_k/min_k z1 with arg slots.  bn2+leaky is monotone
+          per channel (the sign of gamma2*inv2 picks max vs min), so the
+          block output is an XLA epilogue on (B, N, W1).
   bwd B   gather-free: reads nbr back, recomputes h1/z1 per round
           (cheap (G*TQ, C) elementwise + narrow matmuls), accumulates
           dW2 = sum h1^T dz1, the bn1-backward reductions sum(dy1) /
-          sum(dy1*yhat1), the per-point sum_k(G1*dy1), the in-degree
-          counts, and the scatter onehot^T @ [G1*dy1 | yhat1] (2C-wide =
-          one 128-lane matmul).  The TRANSPOSED one-hot (N, G*TQ) is built
-          directly from a sublane-iota compare, so the scatter matmul
-          needs no MXU-side operand transpose.  da/db then assemble in
-          XLA from closed-form batch-stat corrections:
+          sum(dy1*yhat1), the per-point sum_k(G1*dy1), and the scatter
+          onehot^T @ [G1*dy1 | yhat1] (2C-wide = one 128-lane matmul).
+          The TRANSPOSED one-hot (N, G*TQ) is built directly from a
+          sublane-iota compare, so the scatter matmul needs no MXU-side
+          operand transpose.  da/db then assemble in XLA from closed-form
+          batch-stat corrections:
             da_j = S_j − (G1 D1)·cnt_j − (G1 D2)·Y_j
             db_i = P_i − K·(G1 D1) − (G1 D2)·inv1·(s_i + K b_i − K mu1)
           with D1 = E[dy1], D2 = E[dy1 yhat1], S/Y the scatter halves,
-          P the per-point sum, s the forward neighbour-sum.
+          P the per-point sum, s the forward neighbour-sum, cnt the
+          in-degrees from the kNN kernel.
 
 History: round 2 ran a one-hot gather in all three passes (64-wide = half
 MXU width) plus a separate multi-hot stats pass; measured at
 (16, 2048, 64, K=20) that cost gs 0.85 + sf 2.31 + bwd 4.51 = 7.7 ms per
-layer.  The gather-once restructure above removes two of the three big
-matmul chains (bench numbers in docs/ARCHITECTURE.md).  Matmul passes
-STACK `stack` rounds into one deep matmul — 20 separate narrow
-(TQ, N)x(N, C) matmuls run at ~35% of bf16 peak.
+layer vs ~4.8 for GSF+B (bench numbers in docs/ARCHITECTURE.md, incl. the
+measured negative results: backward software-pipelining and fold-merge
+extraction).  Matmul passes STACK `stack` rounds into one deep matmul —
+20 separate narrow (TQ, N)x(N, C) matmuls run at ~35% of bf16 peak.
 
 Gradients THROUGH the batch statistics are exact (standard BN backward);
 deviations from the unfused XLA path are the documented kernel numerics:
