@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validation sweep batch (0 = auto: 256 on TPU; "
                         "results are batch-invariant, larger batches "
                         "amortise dispatch latency)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help=">1 chains S train steps into one compiled "
+                        "lax.scan dispatch (bit-identical update sequence; "
+                        "amortises per-dispatch launch latency)")
     p.add_argument("--step_size", type=int, default=50)
     p.add_argument("--gamma", type=float, default=0.5)
     add_pc_args(p)
@@ -80,6 +84,7 @@ def main(argv=None):
         seed=args.seed,
         save_path=args.save_path,
         print_freq=args.print_freq,
+        steps_per_dispatch=args.steps_per_dispatch,
         evaluate=args.evaluate,
         only_evaluate=args.only_evaluate,
         use_pretrain_weight=args.use_pretrain_weight,

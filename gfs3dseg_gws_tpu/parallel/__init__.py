@@ -10,6 +10,7 @@ fake-prototype class means and confusion matrices automatically.
 from gfs3dseg_gws_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_stacked_batch,
     replicate,
     batch_sharding,
     replicated_sharding,
@@ -19,6 +20,7 @@ from gfs3dseg_gws_tpu.parallel.steps import (
     TrainState,
     jit_init,
     make_gfs_train_step,
+    make_gfs_multi_train_step,
     make_gfs_eval_step,
     make_pretrain_step,
     make_feature_step,
@@ -29,6 +31,7 @@ from gfs3dseg_gws_tpu.parallel.steps import (
 __all__ = [
     "make_mesh",
     "shard_batch",
+    "shard_stacked_batch",
     "replicate",
     "batch_sharding",
     "replicated_sharding",
@@ -37,6 +40,7 @@ __all__ = [
     "TrainState",
     "jit_init",
     "make_gfs_train_step",
+    "make_gfs_multi_train_step",
     "make_gfs_eval_step",
     "make_pretrain_step",
     "make_feature_step",

@@ -31,6 +31,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_stacked_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put (S, B, ...) arrays with dim 1 (the batch) sharded.
+
+    Transfer layout for multi-step dispatch (`make_gfs_multi_train_step`):
+    dim 0 is the scan/steps axis and must stay whole on every device.
+    """
+    s = NamedSharding(mesh, P(None, axis))
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
 def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated over the mesh."""
     s = replicated_sharding(mesh)

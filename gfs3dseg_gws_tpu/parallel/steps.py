@@ -93,13 +93,8 @@ def cached_step(factory, *key_args, **factory_kwargs):
     return _STEP_CACHE[key]
 
 
-def make_gfs_train_step(model, mesh: Optional[Mesh] = None,
-                        donate: bool = True) -> Callable:
-    """GFS base-stage train step (reference train.py:616-631 inner loop).
-
-    signature: (state, points (B,N,C), labels (B,N), gp, rng) ->
-               (state, loss, accuracy)
-    """
+def _gfs_step_body(model) -> Callable:
+    """Shared single-step body for the GFS train-step factories."""
 
     def step(state: TrainState, points, labels, gp, rng):
         r_drop, r_fake = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -118,12 +113,67 @@ def make_gfs_train_step(model, mesh: Optional[Mesh] = None,
         accuracy = jnp.mean((pred == labels).astype(jnp.float32))
         return new_state, loss, accuracy
 
+    return step
+
+
+def make_gfs_train_step(model, mesh: Optional[Mesh] = None,
+                        donate: bool = True) -> Callable:
+    """GFS base-stage train step (reference train.py:616-631 inner loop).
+
+    signature: (state, points (B,N,C), labels (B,N), gp, rng) ->
+               (state, loss, accuracy)
+    """
+    step = _gfs_step_body(model)
     data_s, rep_s = _shardings(mesh)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     return jax.jit(
         step,
         in_shardings=(rep_s, data_s, data_s, rep_s, rep_s),
+        out_shardings=(rep_s, rep_s, rep_s),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_gfs_multi_train_step(model, mesh: Optional[Mesh] = None,
+                              donate: bool = True) -> Callable:
+    """S chained GFS train steps in ONE dispatch (lax.scan over the batch
+    stack) — bit-identical to S sequential `make_gfs_train_step` calls.
+
+    signature: (state, points (S,B,N,C), labels (S,B,N), gp, rng) ->
+               (state, losses (S,), accuracies (S,))
+
+    Exactness: the single-step body derives its dropout/fake streams by
+    folding `rng` with `state.step`, and `apply_gradients` bumps `step`
+    once per scan iteration — so the scan replays the identical RNG/update
+    sequence the python loop would (pinned by
+    tests/test_parallel.py::test_multi_train_step_matches_sequential).
+
+    Why: each dispatch through the axon tunnel costs ~3 ms of launch
+    latency; at 24 ms/step that is the measured 588 -> 675 blocks/s/chip
+    gap between python-loop and device rate (docs/ARCHITECTURE.md,
+    train-step accounting). Chunking S steps per dispatch amortises it to
+    3/S ms without touching step semantics. The reference has no
+    counterpart (its torch loop is host-driven per step, train.py:616).
+    """
+    step = _gfs_step_body(model)
+
+    def multi(state: TrainState, points, labels, gp, rng):
+        def body(st, batch):
+            p, l = batch
+            st, loss, acc = step(st, p, l, gp, rng)
+            return st, (loss, acc)
+
+        state, (losses, accs) = jax.lax.scan(body, state, (points, labels))
+        return state, losses, accs
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0,) if donate else ())
+    rep_s = NamedSharding(mesh, P())
+    stack_s = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi,
+        in_shardings=(rep_s, stack_s, stack_s, rep_s, rep_s),
         out_shardings=(rep_s, rep_s, rep_s),
         donate_argnums=(0,) if donate else (),
     )

@@ -40,10 +40,12 @@ from gfs3dseg_gws_tpu.parallel import (
     make_fg_feat_step,
     make_gfs_eval_step,
     make_gfs_train_step,
+    make_gfs_multi_train_step,
     make_gfs_optimizer,
     make_mesh,
     replicate,
     shard_batch,
+    shard_stacked_batch,
 )
 from gfs3dseg_gws_tpu.parallel.steps import cached_step
 from gfs3dseg_gws_tpu.utils.checkpoint import (
@@ -664,6 +666,12 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         gp_dev = setup.gp
 
     train_step = make_gfs_train_step(setup.model, mesh)
+    # steps_per_dispatch > 1 chains S steps into one lax.scan dispatch —
+    # bit-identical update sequence, amortises the ~3 ms/dispatch axon
+    # tunnel launch latency (docs/ARCHITECTURE.md train-step accounting)
+    spd = max(int(getattr(train_cfg, "steps_per_dispatch", 1)), 1)
+    multi_step = make_gfs_multi_train_step(setup.model, mesh) if spd > 1 \
+        else None
     rng = jax.random.PRNGKey(train_cfg.seed)
 
     scannet = len(setup.all_learning_order) > 13
@@ -689,14 +697,45 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         t0 = time.time()
         # meters consume device scalars ~16 steps late so the per-step
         # float() sync never sits on the dispatch critical path (the axon
-        # tunnel makes an eager sync cost a full round-trip per step)
+        # tunnel makes an eager sync cost a full round-trip per step);
+        # entries are (loss, acc, n_steps) — multi-step dispatches park one
+        # (S,) array pair and sync it with ONE host transfer at drain time
         pending: List = []
 
         def drain(upto: int):
-            while len(pending) > upto:
-                l, a = pending.pop(0)
-                loss_m.update(float(l))
-                acc_m.update(float(a))
+            while sum(p[2] for p in pending) > upto:
+                l, a, _ = pending.pop(0)
+                for lv, av in zip(np.atleast_1d(np.asarray(l)),
+                                  np.atleast_1d(np.asarray(a))):
+                    loss_m.update(float(lv))
+                    acc_m.update(float(av))
+
+        chunk: List = []
+
+        def flush_chunk():
+            nonlocal state
+            pts = np.stack([c[0] for c in chunk])
+            lbs = np.stack([c[1] for c in chunk])
+            chunk.clear()
+            if mesh is not None:
+                pts = shard_stacked_batch(pts, mesh)
+                lbs = shard_stacked_batch(lbs, mesh)
+            state, losses, accs = multi_step(state, pts, lbs, gp_dev, rng)
+            pending.append((losses, accs, int(pts.shape[0])))
+
+        done = 0
+        next_print = train_cfg.print_freq
+
+        def progress():
+            nonlocal next_print
+            drain(0)
+            shown = (done // train_cfg.print_freq) * train_cfg.print_freq
+            logger.cprint(
+                f"Epoch: [{epoch + 1}/{train_cfg.epochs}][{shown}/"
+                f"{steps_per_epoch}] Loss {loss_m.val:.4f} "
+                f"({loss_m.avg:.4f}) Accuracy {acc_m.val:.4f} "
+                f"({acc_m.avg:.4f}).")
+            next_print = shown + train_cfg.print_freq
 
         for i, batch in enumerate(train_batches(
                 setup.train_data, train_cfg.batch_size,
@@ -704,20 +743,34 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             points, labels = batch[0], batch[1].astype(np.int32)
+            if spd > 1:
+                chunk.append((points, labels))
+                if len(chunk) == spd:
+                    flush_chunk()
+            else:
+                if mesh is not None:
+                    points = shard_batch(points, mesh)
+                    labels = shard_batch(labels, mesh)
+                state, loss, acc = train_step(state, points, labels,
+                                              gp_dev, rng)
+                pending.append((loss, acc, 1))
+            done = i + 1 - len(chunk)
+            if done >= next_print:
+                progress()
+            else:
+                drain(16)
+        # leftover chunk (< spd steps): dispatch through the single-step
+        # path so the scan only ever compiles at one length
+        for points, labels in chunk:
             if mesh is not None:
                 points = shard_batch(points, mesh)
                 labels = shard_batch(labels, mesh)
             state, loss, acc = train_step(state, points, labels, gp_dev, rng)
-            pending.append((loss, acc))
-            if (i + 1) % train_cfg.print_freq == 0:
-                drain(0)
-                logger.cprint(
-                    f"Epoch: [{epoch + 1}/{train_cfg.epochs}][{i + 1}/"
-                    f"{steps_per_epoch}] Loss {loss_m.val:.4f} "
-                    f"({loss_m.avg:.4f}) Accuracy {acc_m.val:.4f} "
-                    f"({acc_m.avg:.4f}).")
-            else:
-                drain(16)
+            pending.append((loss, acc, 1))
+            done += 1
+            if done >= next_print:
+                progress()
+        chunk.clear()
         drain(0)
         logger.cprint(
             f"Train result at epoch [{epoch}/{train_cfg.epochs}]: "

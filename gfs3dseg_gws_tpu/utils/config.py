@@ -96,6 +96,10 @@ class TrainConfig:
     seed: int = 321
     save_path: str = "log_s3dis/S0_K5/debug"
     print_freq: int = 20
+    steps_per_dispatch: int = 1    # >1: chain S train steps into one
+                                   # lax.scan dispatch (bit-identical
+                                   # updates; amortises tunnel launch
+                                   # latency; prints at >=S granularity)
     eval_interval: int = 5         # validate every 5 epochs (train.py:518)
     coding_interval: int = 5       # re-estimate base codings every 5 epochs (train.py:512)
     evaluate: bool = True

@@ -10,6 +10,7 @@ from gfs3dseg_gws_tpu.parallel import (
     make_coding_step,
     make_gfs_eval_step,
     make_gfs_train_step,
+    make_gfs_multi_train_step,
     make_gfs_optimizer,
     make_mesh,
     make_pretrain_step,
@@ -85,6 +86,49 @@ class TestShardedTraining:
             np.testing.assert_allclose(float(loss_sh), float(loss_1),
                                        rtol=2e-3)
             np.testing.assert_allclose(float(acc_sh), float(acc_1), atol=0.02)
+
+    def test_multi_train_step_matches_sequential(self, setup):
+        """S scanned steps == S python-loop steps (same RNG folding via
+        state.step), single device exactly and sharded to mesh tolerance."""
+        model, variables, x, y, gp = setup
+        tx = make_gfs_optimizer(1e-3, steps_per_epoch=10)
+        rng = jax.random.PRNGKey(11)
+        S = 3
+        xs = jnp.stack([x + 0.01 * s for s in range(S)])
+        ys = jnp.stack([y for _ in range(S)])
+
+        state_a = TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+        step_1 = make_gfs_train_step(model, mesh=None, donate=False)
+        seq_losses = []
+        for s in range(S):
+            state_a, l, _ = step_1(state_a, xs[s], ys[s], gp, rng)
+            seq_losses.append(float(l))
+
+        state_b = TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+        multi = make_gfs_multi_train_step(model, mesh=None, donate=False)
+        state_b, losses, accs = multi(state_b, xs, ys, gp, rng)
+        assert losses.shape == (S,) and accs.shape == (S,)
+        np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+        assert int(state_b.step) == S
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            state_a.params, state_b.params)
+
+        mesh = make_mesh()
+        from gfs3dseg_gws_tpu.parallel import shard_stacked_batch
+        state_c = replicate(
+            TrainState.create(variables["params"], variables["batch_stats"],
+                              tx), mesh)
+        multi_sh = make_gfs_multi_train_step(model, mesh, donate=False)
+        state_c, losses_sh, _ = multi_sh(
+            state_c, shard_stacked_batch(np.asarray(xs), mesh),
+            shard_stacked_batch(np.asarray(ys), mesh),
+            replicate(gp, mesh), rng)
+        np.testing.assert_allclose(np.asarray(losses_sh), seq_losses,
+                                   rtol=2e-3)
 
     def test_eval_step_confusion(self, setup):
         model, variables, x, y, gp = setup

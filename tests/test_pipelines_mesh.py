@@ -49,3 +49,41 @@ def test_train_and_evaluate_on_mesh(tmp_path):
                        model_checkpoint_path=os.path.join(save, ckpts[0]))
     metrics = evaluate_gfs(model_cfg, data_cfg, eval_cfg, mesh=mesh)
     assert np.isfinite(metrics["mean_iou"])
+
+
+@pytest.mark.slow
+def test_steps_per_dispatch_matches_per_step_loop(tmp_path):
+    """steps_per_dispatch=3 over 5 steps (one scanned chunk + 2 leftover
+    single steps) trains to the same parameters as the per-step loop —
+    the production multi-step dispatch changes launch latency only."""
+    import jax
+
+    root = str(tmp_path)
+    train_dir, test_dir = make_synthetic_blocks(
+        root, n_train_blocks=40, n_test_blocks=8, points_per_block=1500,
+        seed=17)
+    basis_path = os.path.join(root, "basis.pkl")
+    with open(basis_path, "wb") as f:
+        pickle.dump(np.random.default_rng(0).standard_normal(
+            (10, 24)).astype(np.float32), f)
+    model_cfg = ModelConfig(**TINY)
+    data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                          testing_data_path=test_dir, pc_npts=NPTS, k_shot=2)
+    mesh = make_mesh()
+
+    def run(spd, tag):
+        cfg = TrainConfig(batch_size=8, epochs=1, evaluate=False,
+                          basis_path=basis_path, print_freq=2,
+                          save_path=os.path.join(root, tag),
+                          steps_per_dispatch=spd)
+        out = train_gfs(model_cfg, data_cfg, cfg, mesh=mesh,
+                        max_steps_per_epoch=5)
+        return jax.device_get(out["state"].params)
+
+    p1 = run(1, "spd1")
+    p3 = run(3, "spd3")
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat3 = jax.tree_util.tree_leaves(p3)
+    for a, b in zip(flat1, flat3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
