@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validation sweep batch (0 = auto: 256 on TPU; "
                         "results are batch-invariant, larger batches "
                         "amortise dispatch latency)")
+    p.add_argument("--h2d", choices=("auto", "exact", "packed"),
+                   default="auto",
+                   help="train/eval batch transfer: packed = one u8 "
+                        "buffer per batch (f16 coords, 4x fewer bytes); "
+                        "auto = packed on TPU, exact elsewhere")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help=">1 chains S train steps into one compiled "
                         "lax.scan dispatch (bit-identical update sequence; "
@@ -85,6 +90,7 @@ def main(argv=None):
         save_path=args.save_path,
         print_freq=args.print_freq,
         steps_per_dispatch=args.steps_per_dispatch,
+        h2d=args.h2d,
         evaluate=args.evaluate,
         only_evaluate=args.only_evaluate,
         use_pretrain_weight=args.use_pretrain_weight,

@@ -23,6 +23,8 @@ from gfs3dseg_gws_tpu.parallel.steps import (
     make_gfs_multi_train_step,
     make_gfs_eval_step,
     make_pretrain_step,
+    pack_batch,
+    unpack_labels,
     make_feature_step,
     make_coding_step,
     make_fg_feat_step,
@@ -43,6 +45,8 @@ __all__ = [
     "make_gfs_multi_train_step",
     "make_gfs_eval_step",
     "make_pretrain_step",
+    "pack_batch",
+    "unpack_labels",
     "make_feature_step",
     "make_coding_step",
     "make_fg_feat_step",

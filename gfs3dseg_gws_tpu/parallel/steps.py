@@ -97,6 +97,8 @@ def _gfs_step_body(model) -> Callable:
     """Shared single-step body for the GFS train-step factories."""
 
     def step(state: TrainState, points, labels, gp, rng):
+        points = unpack_points(points)   # no-op on dense f32 batches
+        labels = unpack_labels(labels)
         r_drop, r_fake = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -179,26 +181,75 @@ def make_gfs_multi_train_step(model, mesh: Optional[Mesh] = None,
     )
 
 
+PACKED_POINT_BYTES = 10   # xyz f16 (6) | rgb u8 (3) | label u8 (1)
+
+
+def pack_batch(points, labels=None):
+    """Host-side: (..., N, 9) f32 xyzrgbXYZ (+ labels) -> ONE contiguous
+    (..., N, 10) uint8 transfer buffer.
+
+    Byte layout per point: xyz as little-endian f16 (6) | rgb as u8 (3) |
+    label as u8 (1).  XYZ is NOT shipped: the native loader computes it
+    post-augmentation as (xyz - min) / span (native/blockloader.cc:262-275,
+    mirroring reference dataloaders/loader.py:92-101), which
+    `unpack_points` reproduces on device.  rgb recovers the original uint8
+    exactly (the samplers emit orig/255).  One buffer instead of separate
+    arrays because each transfer through the axon tunnel pays ~60 ms fixed
+    latency regardless of size (measured, scripts/bench_train_loop.py).
+    """
+    import numpy as np
+
+    pts = np.asarray(points)
+    buf = np.empty(pts.shape[:-1] + (PACKED_POINT_BYTES,), np.uint8)
+    xyz16 = np.ascontiguousarray(pts[..., 0:3].astype(np.float16))
+    buf[..., 0:6] = xyz16.view(np.uint8).reshape(pts.shape[:-1] + (6,))
+    buf[..., 6:9] = np.clip(np.rint(pts[..., 3:6] * 255.0), 0, 255)
+    buf[..., 9] = 0 if labels is None else np.asarray(labels)
+    return buf
+
+
 def unpack_points(points):
     """Reconstruct (B, N, 9) xyzrgbXYZ features from a packed H2D payload.
 
-    `points` is either the dense f32 array (exact path) or a tuple
-    (xyz (B,N,3) f16, rgb (B,N,3) u8) — 9 bytes/point instead of 36, a 4x
-    cut of the host->device transfer that bounds the end-to-end sweep
-    through the axon tunnel (~40 MB/s).  The normalised XYZ attributes are
-    recomputed on device exactly as the sampler does host-side
-    (reference dataloaders/loader.py:92-101).  Documented deviation of the
-    packed path: coords quantised to f16 (<=2^-11 relative) and XYZ/rgb
-    recomputed in f32 device arithmetic; use h2d="exact" for strict parity.
+    `points` is one of
+      - the dense f32 array (exact path),
+      - a (xyz (B,N,3) f16, rgb (B,N,3) u8) tuple (legacy packed eval), or
+      - the single (B, N, 10) uint8 buffer from `pack_batch` (labels ride
+        in byte 9 and are read by `unpack_labels`).
+    9-10 bytes/point instead of 36-40 — a ~4x cut of the host->device
+    transfer that bounds the end-to-end sweep and host-fed train loop
+    through the axon tunnel (~40 MB/s + ~60 ms/transfer).  The normalised
+    XYZ attributes are recomputed on device exactly as the samplers do
+    host-side post-augmentation (reference dataloaders/loader.py:92-101,
+    native/blockloader.cc:262-275).  Documented deviation of the packed
+    path: coords quantised to f16 (<=2^-11 relative) and XYZ/rgb recomputed
+    in f32 device arithmetic; use h2d="exact" for strict parity.
     """
-    if not isinstance(points, (tuple, list)):
+    if isinstance(points, (tuple, list)):
+        xyz16, rgb8 = points
+        xyz = xyz16.astype(jnp.float32)
+        rgb = rgb8.astype(jnp.float32) / 255.0
+    elif points.dtype == jnp.uint8:
+        pairs = points[..., 0:6].reshape(points.shape[:-1] + (3, 2))
+        xyz = jax.lax.bitcast_convert_type(pairs, jnp.float16
+                                           ).astype(jnp.float32)
+        rgb = points[..., 6:9].astype(jnp.float32) / 255.0
+    else:
         return points
-    xyz16, rgb8 = points
-    xyz = xyz16.astype(jnp.float32)
-    rgb = rgb8.astype(jnp.float32) / 255.0
     shifted = xyz - jnp.min(xyz, axis=1, keepdims=True)
     span = jnp.max(shifted, axis=1, keepdims=True)
     return jnp.concatenate([xyz, rgb, shifted / span], axis=-1)
+
+
+def unpack_labels(labels):
+    """Labels from any transfer form: dense int (B,N); u8 (B,N) (legacy
+    packed eval); or the (B, N, 10) u8 `pack_batch` buffer (byte 9) —
+    callers in single-buffer mode pass the SAME device buffer as both the
+    points and labels argument, so only one H2D transfer happens."""
+    if labels.dtype == jnp.uint8 and labels.ndim >= 3 \
+            and labels.shape[-1] == PACKED_POINT_BYTES:
+        return labels[..., 9].astype(jnp.int32)
+    return labels.astype(jnp.int32)
 
 
 def make_gfs_eval_step(model, num_classes: int,
@@ -212,7 +263,7 @@ def make_gfs_eval_step(model, num_classes: int,
     def step(variables, points, labels, gp, gened_proto, base_coding,
              novel_coding, valid):
         points = unpack_points(points)
-        labels = labels.astype(jnp.int32)   # u8 in packed-H2D mode
+        labels = unpack_labels(labels)   # u8 / buffer in packed-H2D mode
         logits, gp_acc, gp_nacc = model.apply(
             variables, points, gp, gened_proto, base_coding, novel_coding,
             labels, valid, method="evaluate")
@@ -246,7 +297,7 @@ def make_gfs_eval_multi_step(model, num_classes: int,
     def step(variables, points, labels, gp, gened_protos, base_coding,
              novel_codings, valid):
         points = unpack_points(points)
-        labels = labels.astype(jnp.int32)   # u8 in packed-H2D mode
+        labels = unpack_labels(labels)   # u8 / buffer in packed-H2D mode
         logits, gp_acc, gp_nacc = model.apply(
             variables, points, gp, gened_protos, base_coding, novel_codings,
             labels, valid, method="evaluate_multi")   # (S, B, N, cls)

@@ -43,6 +43,7 @@ from gfs3dseg_gws_tpu.parallel import (
     make_gfs_multi_train_step,
     make_gfs_optimizer,
     make_mesh,
+    pack_batch,
     replicate,
     shard_batch,
     shard_stacked_batch,
@@ -362,7 +363,20 @@ def eval_batches(val_dataset, batch_size: int, h2d: str = "auto"):
                 parts = [np.concatenate([p, np.repeat(p[:1], pad, 0)])
                          for p in parts]
                 lbl = np.concatenate([lbl, np.repeat(lbl[:1], pad, 0)])
-            yield (tuple(parts) if quant else parts[0]), lbl, valid
+            if quant:
+                # ONE u8 buffer per batch (labels in byte 9, labels=None
+                # sentinel): every separate array device_put through the
+                # axon tunnel pays ~60 ms fixed latency, so three arrays
+                # per batch cost more than the payload itself
+                xyz16, rgb8 = parts
+                buf = np.empty(xyz16.shape[:-1] + (10,), np.uint8)
+                buf[..., 0:6] = np.ascontiguousarray(xyz16).view(
+                    np.uint8).reshape(xyz16.shape[:-1] + (6,))
+                buf[..., 6:9] = rgb8
+                buf[..., 9] = lbl
+                yield buf, None, valid
+            else:
+                yield parts[0], lbl, valid
         return
     for batch in batch_iterator(val_dataset, batch_size, shuffle=False,
                                 pad_final=True):
@@ -400,7 +414,11 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
 
     results = []
     for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
-        if mesh is not None:
+        if labels is None:    # single-buffer packed batch: ONE transfer,
+            points = (shard_batch(points, mesh) if mesh is not None
+                      else jax.device_put(points))
+            labels = points   # labels read from byte 9 on device
+        elif mesh is not None:
             points = shard_batch(points, mesh)
             labels = shard_batch(labels, mesh)
         results.append(eval_step(variables_d, points, labels, *args_rep,
@@ -448,7 +466,11 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
 
     results = []
     for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
-        if mesh is not None:
+        if labels is None:    # single-buffer packed batch (see validate())
+            points = (shard_batch(points, mesh) if mesh is not None
+                      else jax.device_put(points))
+            labels = points
+        elif mesh is not None:
             points = shard_batch(points, mesh)
             labels = shard_batch(labels, mesh)
         results.append(eval_step(variables_d, points, labels, *args_rep,
@@ -592,7 +614,7 @@ def evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         np.stack(geneds), base_coding, np.stack(novel_codings),
         setup.all_learning_order, setup.test_class_names,
         len(setup.all_class_names), _eval_batch_size(train_cfg), mesh,
-        scannet, logger)
+        scannet, logger, h2d=getattr(train_cfg, "h2d", "auto"))
     sums = np.zeros(4)
     iou_lists = []
     for m in metrics:
@@ -672,6 +694,13 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
     spd = max(int(getattr(train_cfg, "steps_per_dispatch", 1)), 1)
     multi_step = make_gfs_multi_train_step(setup.model, mesh) if spd > 1 \
         else None
+    # packed H2D (auto on TPU): each train batch ships as ONE (B,N,10) u8
+    # buffer (xyz f16 | rgb u8 | label u8, parallel.steps.pack_batch) —
+    # 4x fewer bytes and one transfer instead of two through the
+    # ~60 ms/transfer + ~40 MB/s axon tunnel; XYZ is recomputed on device
+    # exactly as the native loader does post-augmentation. Same documented
+    # f16 deviation as the eval sweep; GFS3D_EXACT_H2D=1 restores f32.
+    train_packed = _h2d_mode(getattr(train_cfg, "h2d", "auto")) == "packed"
     rng = jax.random.PRNGKey(train_cfg.seed)
 
     scannet = len(setup.all_learning_order) > 13
@@ -712,15 +741,31 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
 
         chunk: List = []
 
+        def put_pair(points, labels, stacked=False):
+            """Transfer one batch (or an (S,...) stack): packed mode ships
+            a single u8 buffer and passes it as BOTH step args (labels are
+            read from byte 9 on device — one H2D transfer total)."""
+            if train_packed:
+                buf = pack_batch(points, labels)
+                if mesh is not None:
+                    buf = (shard_stacked_batch if stacked
+                           else shard_batch)(buf, mesh)
+                else:
+                    buf = jax.device_put(buf)
+                return buf, buf
+            if mesh is not None:
+                put = shard_stacked_batch if stacked else shard_batch
+                return put(points, mesh), put(labels, mesh)
+            return points, labels
+
         def flush_chunk():
             nonlocal state
             pts = np.stack([c[0] for c in chunk])
             lbs = np.stack([c[1] for c in chunk])
             chunk.clear()
-            if mesh is not None:
-                pts = shard_stacked_batch(pts, mesh)
-                lbs = shard_stacked_batch(lbs, mesh)
-            state, losses, accs = multi_step(state, pts, lbs, gp_dev, rng)
+            p_dev, l_dev = put_pair(pts, lbs, stacked=True)
+            state, losses, accs = multi_step(state, p_dev, l_dev,
+                                             gp_dev, rng)
             pending.append((losses, accs, int(pts.shape[0])))
 
         done = 0
@@ -748,10 +793,8 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                 if len(chunk) == spd:
                     flush_chunk()
             else:
-                if mesh is not None:
-                    points = shard_batch(points, mesh)
-                    labels = shard_batch(labels, mesh)
-                state, loss, acc = train_step(state, points, labels,
+                p_dev, l_dev = put_pair(points, labels)
+                state, loss, acc = train_step(state, p_dev, l_dev,
                                               gp_dev, rng)
                 pending.append((loss, acc, 1))
             done = i + 1 - len(chunk)
@@ -761,11 +804,9 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                 drain(16)
         # leftover chunk (< spd steps): dispatch through the single-step
         # path so the scan only ever compiles at one length
-        for points, labels in chunk:
-            if mesh is not None:
-                points = shard_batch(points, mesh)
-                labels = shard_batch(labels, mesh)
-            state, loss, acc = train_step(state, points, labels, gp_dev, rng)
+        for points, labels in list(chunk):
+            p_dev, l_dev = put_pair(points, labels)
+            state, loss, acc = train_step(state, p_dev, l_dev, gp_dev, rng)
             pending.append((loss, acc, 1))
             done += 1
             if done >= next_print:
@@ -792,7 +833,8 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                 setup.model, variables_now, setup.gp, setup.val_dataset,
                 gened, base_coding, novel_coding, setup.all_learning_order,
                 setup.test_class_names, len(setup.all_class_names),
-                _eval_batch_size(train_cfg), mesh, scannet, logger)
+                _eval_batch_size(train_cfg), mesh, scannet, logger,
+                h2d=getattr(train_cfg, "h2d", "auto"))
             logger.cprint(
                 f"Epoch: {epoch}, Final mIoU: {mean_iou}, BASE: {base_iou}, "
                 f"NOVEL: {novel_iou}, hm: {hm}")

@@ -100,6 +100,10 @@ class TrainConfig:
                                    # lax.scan dispatch (bit-identical
                                    # updates; amortises tunnel launch
                                    # latency; prints at >=S granularity)
+    h2d: str = "auto"              # train-batch transfer: "exact" (f32),
+                                   # "packed" (one u8 buffer/batch, f16
+                                   # coords), "auto" = packed on TPU
+                                   # (GFS3D_EXACT_H2D=1 forces exact)
     eval_interval: int = 5         # validate every 5 epochs (train.py:518)
     coding_interval: int = 5       # re-estimate base codings every 5 epochs (train.py:512)
     evaluate: bool = True

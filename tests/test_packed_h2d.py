@@ -16,7 +16,8 @@ from gfs3dseg_gws_tpu.data import make_synthetic_blocks
 from gfs3dseg_gws_tpu.data.datasets import TestingDataset
 from gfs3dseg_gws_tpu.data.registry import DatasetRegistry
 from gfs3dseg_gws_tpu.models.capl import GWCAPL
-from gfs3dseg_gws_tpu.parallel.steps import unpack_points
+from gfs3dseg_gws_tpu.parallel.steps import (pack_batch, unpack_labels,
+                                             unpack_points)
 from gfs3dseg_gws_tpu.pipelines.gfs import eval_batches, validate
 
 NPTS = 96
@@ -41,13 +42,15 @@ def setup(tmp_path_factory):
 
 
 def test_unpack_matches_exact_attributes(setup):
-    """unpack_points(quantised) == dense features up to f16 quantisation."""
+    """unpack_points(single u8 buffer) == dense features up to f16
+    quantisation; labels ride in byte 9 (labels yield is the None
+    sentinel meaning 'one transfer, read labels on device')."""
     ds, *_ = setup
     exact = next(eval_batches(ds, 4, h2d="exact"))
-    packed = next(eval_batches(ds, 4, h2d="packed"))
-    assert isinstance(packed[0], tuple)
-    rebuilt = np.asarray(unpack_points(tuple(jnp.asarray(p)
-                                             for p in packed[0])))
+    buf, labels_none, valid = next(eval_batches(ds, 4, h2d="packed"))
+    assert labels_none is None
+    assert buf.dtype == np.uint8 and buf.shape[-1] == 10
+    rebuilt = np.asarray(unpack_points(jnp.asarray(buf)))
     dense = exact[0]
     # xyz: f16 quantisation of the same values
     np.testing.assert_allclose(rebuilt[..., :3], dense[..., :3],
@@ -58,8 +61,89 @@ def test_unpack_matches_exact_attributes(setup):
     # XYZ: recomputed from quantised xyz
     np.testing.assert_allclose(rebuilt[..., 6:9], dense[..., 6:9],
                                rtol=5e-3, atol=5e-3)
-    np.testing.assert_array_equal(packed[1], exact[1])
-    assert packed[2] == exact[2]
+    np.testing.assert_array_equal(
+        np.asarray(unpack_labels(jnp.asarray(buf))), exact[1])
+    assert valid == exact[2]
+
+
+def test_pack_batch_roundtrip():
+    """pack_batch -> unpack on crafted f16-exact data is EXACT: xyz
+    bitwise, rgb k/255 recovery, labels byte 9, XYZ to f32 tolerance."""
+    rng = np.random.default_rng(3)
+    xyz = rng.standard_normal((2, 64, 3)).astype(np.float16).astype(
+        np.float32)           # f16-representable -> quantisation-free
+    rgb = rng.integers(0, 256, (2, 64, 3)).astype(np.float32) / 255.0
+    shifted = xyz - xyz.min(axis=1, keepdims=True)
+    XYZ = shifted / shifted.max(axis=1, keepdims=True)
+    pts = np.concatenate([xyz, rgb, XYZ], axis=-1)
+    lbl = rng.integers(0, 21, (2, 64))
+    buf = pack_batch(pts, lbl)
+    assert buf.shape == (2, 64, 10) and buf.dtype == np.uint8
+    out = np.asarray(unpack_points(jnp.asarray(buf)))
+    np.testing.assert_array_equal(out[..., 0:3], xyz)
+    np.testing.assert_allclose(out[..., 3:6], rgb, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(out[..., 6:9], XYZ, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_labels(jnp.asarray(buf))), lbl)
+    # stacked (S, B, N, 9) form used by steps_per_dispatch chunks
+    buf_s = pack_batch(np.stack([pts, pts]), np.stack([lbl, lbl]))
+    assert buf_s.shape == (2, 2, 64, 10)
+    np.testing.assert_array_equal(buf_s[0], buf)
+
+
+def test_train_step_packed_matches_exact():
+    """The GFS train step fed the u8 buffer (as both args) reproduces the
+    dense-f32 step on f16-exact inputs — transfer packing changes bytes
+    on the wire, not the update."""
+    from gfs3dseg_gws_tpu.parallel import (
+        TrainState, jit_init, make_gfs_optimizer, make_gfs_train_step)
+
+    n, ngw = 64, 8
+    model = GWCAPL(classes=13, base_num=7, num_gw=ngw, main_dim=16,
+                   edgeconv_widths=((8, 8),) * 3, mlp_widths=(16, 16),
+                   base_widths=(8, 8), output_dim=8, k=5, use_pallas=False)
+    rng = jax.random.PRNGKey(0)
+    host = np.random.default_rng(5)
+    xyz = host.standard_normal((2, n, 3)).astype(np.float16).astype(
+        np.float32)
+    rgb = host.integers(0, 256, (2, n, 3)).astype(np.float32) / 255.0
+    shifted = xyz - xyz.min(axis=1, keepdims=True)
+    XYZ = shifted / shifted.max(axis=1, keepdims=True)
+    pts = np.concatenate([xyz, rgb, XYZ], axis=-1)
+    lbl = host.integers(0, 8, (2, n)).astype(np.int32)
+    gp = jax.random.normal(jax.random.PRNGKey(1), (ngw, 24))
+    buf = jnp.asarray(pack_batch(pts, lbl))
+    # the dense reference input is the device-side unpack itself, so the
+    # two steps must agree BITWISE — sub-ulp input differences would
+    # otherwise flip Adam's sign on noise-level gradients; the
+    # quantisation delta vs host f32 is pinned by the attribute test above
+    pts_dense = unpack_points(buf)
+    variables = jit_init(model, {"params": rng, "dropout": rng,
+                                 "fake": rng}, pts_dense,
+                        jnp.asarray(lbl), gp, train=True)
+    # SGD, not Adam: XLA fuses the in-jit unpack differently than the
+    # two-stage (materialise -> step) path, so activations differ by ~1 ulp;
+    # Adam's g/sqrt(v) would amplify that into sign flips on noise-level
+    # gradients, while the SGD update stays proportional to the gradient
+    import optax
+    tx = optax.sgd(1e-2)
+    step = make_gfs_train_step(model, mesh=None, donate=False)
+
+    state_a = TrainState.create(variables["params"],
+                                variables["batch_stats"], tx)
+    state_a, loss_a, acc_a = step(state_a, pts_dense,
+                                  jnp.asarray(lbl), gp, rng)
+
+    state_b = TrainState.create(variables["params"],
+                                variables["batch_stats"], tx)
+    state_b, loss_b, acc_b = step(state_b, buf, buf, gp, rng)
+
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-6)
+    assert float(acc_b) == float(acc_a)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        state_a.params, state_b.params)
 
 
 def test_validate_packed_matches_exact(setup):

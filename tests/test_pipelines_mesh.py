@@ -87,3 +87,30 @@ def test_steps_per_dispatch_matches_per_step_loop(tmp_path):
     for a, b in zip(flat1, flat3):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_packed_h2d_train_on_mesh(tmp_path):
+    """h2d="packed" end to end on the mesh: the train loop ships single
+    (S,B,N,10)/(B,N,10) u8 buffers (scan chunk + leftover single steps)
+    and validation consumes the single-buffer packed eval batches — the
+    TPU default transfer mode, forced here on the CPU mesh."""
+    root = str(tmp_path)
+    train_dir, test_dir = make_synthetic_blocks(
+        root, n_train_blocks=40, n_test_blocks=13, points_per_block=1500,
+        seed=23)
+    basis_path = os.path.join(root, "basis.pkl")
+    with open(basis_path, "wb") as f:
+        pickle.dump(np.random.default_rng(0).standard_normal(
+            (10, 24)).astype(np.float32), f)
+    model_cfg = ModelConfig(**TINY)
+    data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                          testing_data_path=test_dir, pc_npts=NPTS, k_shot=2)
+    train_cfg = TrainConfig(batch_size=8, epochs=2, eval_interval=2,
+                            coding_interval=2, basis_path=basis_path,
+                            save_path=os.path.join(root, "gfs"),
+                            print_freq=1000, steps_per_dispatch=2,
+                            h2d="packed")
+    out = train_gfs(model_cfg, data_cfg, train_cfg, mesh=make_mesh(),
+                    max_steps_per_epoch=3)
+    assert out["history"] and np.isfinite(out["history"][-1]["mean_iou"])
