@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--testing_data_path", type=str, default="")
     p.add_argument("--log_dir", type=str, default="")
     p.add_argument("--seed", type=int, default=321)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help=">1 chains S train steps into one compiled "
+                        "lax.scan dispatch (bit-identical updates)")
+    p.add_argument("--h2d", choices=("auto", "exact", "packed"),
+                   default="auto",
+                   help="batch transfer: packed = one u8 buffer per "
+                        "batch (f16 coords); auto = packed on TPU")
     return p
 
 
@@ -94,7 +101,8 @@ def main(argv=None):
             weight_decay=args.pretrain_weight_decay, n_iters=args.n_iters,
             step_size=args.pretrain_step_size, gamma=args.pretrain_gamma,
             eval_interval=args.eval_interval, seed=args.seed,
-            log_dir=log_dir)
+            log_dir=log_dir, steps_per_dispatch=args.steps_per_dispatch,
+            h2d=args.h2d)
         from gfs3dseg_gws_tpu.pipelines.pretrain import pretrain
 
         return pretrain(model_cfg, data_cfg, pre_cfg)

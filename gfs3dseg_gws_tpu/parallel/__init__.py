@@ -8,6 +8,7 @@ fake-prototype class means and confusion matrices automatically.
 """
 
 from gfs3dseg_gws_tpu.parallel.mesh import (
+    make_batch_putter,
     make_mesh,
     shard_batch,
     shard_stacked_batch,
@@ -23,6 +24,7 @@ from gfs3dseg_gws_tpu.parallel.steps import (
     make_gfs_multi_train_step,
     make_gfs_eval_step,
     make_pretrain_step,
+    make_pretrain_multi_step,
     pack_batch,
     unpack_labels,
     make_feature_step,
@@ -31,6 +33,7 @@ from gfs3dseg_gws_tpu.parallel.steps import (
 )
 
 __all__ = [
+    "make_batch_putter",
     "make_mesh",
     "shard_batch",
     "shard_stacked_batch",
@@ -45,6 +48,7 @@ __all__ = [
     "make_gfs_multi_train_step",
     "make_gfs_eval_step",
     "make_pretrain_step",
+    "make_pretrain_multi_step",
     "pack_batch",
     "unpack_labels",
     "make_feature_step",

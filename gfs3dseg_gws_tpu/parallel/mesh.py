@@ -45,3 +45,34 @@ def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated over the mesh."""
     s = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def make_batch_putter(mesh: Optional[Mesh], packed: bool):
+    """Transfer policy for host-fed train loops.
+
+    Returns put_pair(points, labels, stacked=False) -> (points_dev,
+    labels_dev).  packed=True ships ONE (…,N,10) u8 `pack_batch` buffer
+    and returns it as BOTH step arguments (labels ride byte 9; step
+    bodies read them via `unpack_labels`) — a single H2D transfer, which
+    matters because each transfer through the axon tunnel costs ~60 ms
+    fixed latency on top of bytes/~41 MB/s
+    (scripts/bench_train_loop.py).  stacked=True is the (S, B, …)
+    steps-per-dispatch chunk layout (scan axis whole on every device).
+    """
+    from gfs3dseg_gws_tpu.parallel.steps import pack_batch
+
+    def put_pair(points, labels, stacked: bool = False):
+        if packed:
+            buf = pack_batch(points, labels)
+            if mesh is not None:
+                buf = (shard_stacked_batch if stacked
+                       else shard_batch)(buf, mesh)
+            else:
+                buf = jax.device_put(buf)
+            return buf, buf
+        if mesh is not None:
+            put = shard_stacked_batch if stacked else shard_batch
+            return put(points, mesh), put(labels, mesh)
+        return points, labels
+
+    return put_pair

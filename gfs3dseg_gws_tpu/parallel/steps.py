@@ -319,14 +319,13 @@ def make_gfs_eval_multi_step(model, num_classes: int,
     )
 
 
-def make_pretrain_step(model, mesh: Optional[Mesh] = None) -> Callable:
-    """Supervised segmentation train step (reference pretrain pre_train.py:144-159).
-
-    signature: (state, points, labels, rng) -> (state, loss)
-    """
+def _pretrain_step_body(model) -> Callable:
+    """Shared single-step body for the pretrain-step factories."""
     from gfs3dseg_gws_tpu.models.layers import cross_entropy
 
     def step(state: TrainState, points, labels, rng):
+        points = unpack_points(points)   # no-op on dense f32 batches
+        labels = unpack_labels(labels)
         r = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -339,14 +338,56 @@ def make_pretrain_step(model, mesh: Optional[Mesh] = None) -> Callable:
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_bs), loss
 
+    return step
+
+
+def make_pretrain_step(model, mesh: Optional[Mesh] = None,
+                       donate: bool = True) -> Callable:
+    """Supervised segmentation train step (reference pretrain pre_train.py:144-159).
+
+    signature: (state, points, labels, rng) -> (state, loss)
+    """
+    step = _pretrain_step_body(model)
     data_s, rep_s = _shardings(mesh)
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
     return jax.jit(
         step,
         in_shardings=(rep_s, data_s, data_s, rep_s),
         out_shardings=(rep_s, rep_s),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_pretrain_multi_step(model, mesh: Optional[Mesh] = None,
+                             donate: bool = True) -> Callable:
+    """S chained pretrain steps in ONE dispatch — same lax.scan scheme and
+    exactness argument as `make_gfs_multi_train_step` (the dropout stream
+    folds on `state.step`, which the scan bumps per iteration).
+
+    signature: (state, points (S,B,N,C), labels (S,B,N), rng) ->
+               (state, losses (S,))
+    """
+    step = _pretrain_step_body(model)
+
+    def multi(state: TrainState, points, labels, rng):
+        def body(st, batch):
+            p, l = batch
+            st, loss = step(st, p, l, rng)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (points, labels))
+        return state, losses
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0,) if donate else ())
+    rep_s = NamedSharding(mesh, P())
+    stack_s = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi,
+        in_shardings=(rep_s, stack_s, stack_s, rep_s),
+        out_shardings=(rep_s, rep_s),
+        donate_argnums=(0,) if donate else (),
     )
 
 

@@ -41,9 +41,9 @@ from gfs3dseg_gws_tpu.parallel import (
     make_gfs_eval_step,
     make_gfs_train_step,
     make_gfs_multi_train_step,
+    make_batch_putter,
     make_gfs_optimizer,
     make_mesh,
-    pack_batch,
     replicate,
     shard_batch,
     shard_stacked_batch,
@@ -740,23 +740,7 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                     acc_m.update(float(av))
 
         chunk: List = []
-
-        def put_pair(points, labels, stacked=False):
-            """Transfer one batch (or an (S,...) stack): packed mode ships
-            a single u8 buffer and passes it as BOTH step args (labels are
-            read from byte 9 on device — one H2D transfer total)."""
-            if train_packed:
-                buf = pack_batch(points, labels)
-                if mesh is not None:
-                    buf = (shard_stacked_batch if stacked
-                           else shard_batch)(buf, mesh)
-                else:
-                    buf = jax.device_put(buf)
-                return buf, buf
-            if mesh is not None:
-                put = shard_stacked_batch if stacked else shard_batch
-                return put(points, mesh), put(labels, mesh)
-            return points, labels
+        put_pair = make_batch_putter(mesh, train_packed)
 
         def flush_chunk():
             nonlocal state

@@ -19,7 +19,11 @@ from gfs3dseg_gws_tpu.data.pipeline import batch_iterator
 from gfs3dseg_gws_tpu.data.registry import make_registry
 from gfs3dseg_gws_tpu.models.dgcnnseg import DGCNNSeg
 from gfs3dseg_gws_tpu.ops.metrics import overall_accuracy_and_miou
-from gfs3dseg_gws_tpu.parallel import TrainState, jit_init, make_mesh, make_pretrain_step, replicate, shard_batch
+from gfs3dseg_gws_tpu.parallel import (TrainState, jit_init,
+                                       make_batch_putter, make_mesh,
+                                       make_pretrain_multi_step,
+                                       make_pretrain_step, replicate,
+                                       shard_batch)
 from gfs3dseg_gws_tpu.parallel.optim import make_pretrain_optimizer
 from gfs3dseg_gws_tpu.parallel.steps import make_eval_logits_step
 from gfs3dseg_gws_tpu.utils.checkpoint import save_checkpoint, save_torch_pretrain_checkpoint
@@ -72,6 +76,13 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
         state = replicate(state, mesh)
     train_step = make_pretrain_step(model, mesh)
     eval_step = make_eval_logits_step(model, num_classes, mesh)
+    # same dispatch/transfer policy as the GFS loop (pipelines/gfs.py):
+    # chain S steps per lax.scan dispatch, ship packed u8 buffers on TPU
+    spd = max(int(getattr(pretrain_cfg, "steps_per_dispatch", 1)), 1)
+    multi_step = make_pretrain_multi_step(model, mesh) if spd > 1 else None
+    from gfs3dseg_gws_tpu.pipelines.gfs import _h2d_mode
+    put_pair = make_batch_putter(
+        mesh, _h2d_mode(getattr(pretrain_cfg, "h2d", "auto")) == "packed")
 
     # start below zero so the first evaluation always checkpoints (the
     # reference's 0 init works because real runs never stay at exactly 0)
@@ -83,23 +94,48 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
         from gfs3dseg_gws_tpu.pipelines.gfs import train_batches
 
         # defer the loss sync ~16 steps so float() never sits on the
-        # dispatch critical path (one tunnel round-trip per step otherwise)
+        # dispatch critical path (one tunnel round-trip per step otherwise);
+        # multi-step dispatches park one (S,) array and drain it whole
         pending = []
+
+        def drain(upto: int):
+            while len(pending) > upto:
+                for lv in np.atleast_1d(np.asarray(pending.pop(0))):
+                    loss_m.update(float(lv))
+
+        chunk = []
+
+        def flush_chunk():
+            nonlocal state
+            pts = np.stack([c[0] for c in chunk])
+            lbs = np.stack([c[1] for c in chunk])
+            chunk.clear()
+            p_dev, l_dev = put_pair(pts, lbs, stacked=True)
+            state, losses = multi_step(state, p_dev, l_dev, rng)
+            pending.append(losses)
+
         for i, batch in enumerate(train_batches(
                 train_ds, pretrain_cfg.batch_size, seed=pretrain_cfg.seed,
                 epoch=epoch)):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             points, labels = batch[0], batch[1].astype(np.int32)
-            if mesh is not None:
-                points = shard_batch(points, mesh)
-                labels = shard_batch(labels, mesh)
-            state, loss = train_step(state, points, labels, rng)
+            if spd > 1:
+                chunk.append((points, labels))
+                if len(chunk) == spd:
+                    flush_chunk()
+            else:
+                p_dev, l_dev = put_pair(points, labels)
+                state, loss = train_step(state, p_dev, l_dev, rng)
+                pending.append(loss)
+            drain(16)
+        # leftover sub-S chunk through the single-step jit (one scan length)
+        for points, labels in list(chunk):
+            p_dev, l_dev = put_pair(points, labels)
+            state, loss = train_step(state, p_dev, l_dev, rng)
             pending.append(loss)
-            while len(pending) > 16:
-                loss_m.update(float(pending.pop(0)))
-        for loss in pending:
-            loss_m.update(float(loss))
+        chunk.clear()
+        drain(0)
         logger.cprint(f"=====[Train] Epoch: {epoch} | Loss: {loss_m.avg:.4f} "
                       f"| {time.time() - t0:.1f}s =====")
         writer.scalar("Train/loss", loss_m.avg, epoch)

@@ -128,6 +128,9 @@ class PretrainConfig:
     dropout: float = 0.3
     seed: int = 321
     log_dir: str = "log_pretrain"
+    steps_per_dispatch: int = 1    # >1: chain S steps into one lax.scan
+                                   # dispatch (see TrainConfig)
+    h2d: str = "auto"              # batch transfer mode (see TrainConfig)
 
 
 def parse_widths(text: str) -> Tuple:

@@ -188,6 +188,66 @@ class TestPretrainStep:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
 
+    def test_multi_step_matches_sequential_and_packed(self):
+        """S scanned pretrain steps == S python-loop steps (RNG folds on
+        state.step); and the packed u8-buffer transfer (put as both args)
+        reproduces the scan on f16-exact inputs on the mesh."""
+        from gfs3dseg_gws_tpu.parallel import (make_batch_putter,
+                                               make_pretrain_multi_step)
+
+        model = DGCNNSeg(num_classes=BASE + 1,
+                         edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+                         mlp_widths=(16, 16), k=5, use_pallas=False)
+        host = np.random.default_rng(7)
+        S = 3
+        # f16-exact features so packed == exact up to fusion-level ulps
+        xyz = host.standard_normal((S, B, N, 3)).astype(np.float16).astype(
+            np.float32)
+        rgb = host.integers(0, 256, (S, B, N, 3)).astype(np.float32) / 255.0
+        sh = xyz - xyz.min(axis=2, keepdims=True)
+        XYZ = sh / sh.max(axis=2, keepdims=True)
+        xs = np.concatenate([xyz, rgb, XYZ], axis=-1)
+        ys = host.integers(0, BASE + 1, (S, B, N)).astype(np.int32)
+        variables = model.init({"params": jax.random.PRNGKey(2),
+                                "dropout": jax.random.PRNGKey(3)},
+                               jnp.asarray(xs[0]), True)
+        tx = make_pretrain_optimizer(1e-3, steps_per_epoch=10)
+        rng = jax.random.PRNGKey(5)
+
+        state_a = TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+        step1 = make_pretrain_step(model, mesh=None, donate=False)
+        seq_losses = []
+        for s in range(S):
+            state_a, l = step1(state_a, jnp.asarray(xs[s]),
+                               jnp.asarray(ys[s]), rng)
+            seq_losses.append(float(l))
+
+        state_b = TrainState.create(variables["params"],
+                                    variables["batch_stats"], tx)
+        multi = make_pretrain_multi_step(model, mesh=None, donate=False)
+        state_b, losses = multi(state_b, jnp.asarray(xs), jnp.asarray(ys),
+                                rng)
+        np.testing.assert_allclose(np.asarray(losses), seq_losses,
+                                   rtol=1e-5)
+        assert int(state_b.step) == S
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            state_a.params, state_b.params)
+
+        mesh = make_mesh()
+        put_pair = make_batch_putter(mesh, packed=True)
+        p_dev, l_dev = put_pair(xs, ys, stacked=True)
+        assert p_dev is l_dev and p_dev.dtype == jnp.uint8
+        state_c = replicate(
+            TrainState.create(variables["params"], variables["batch_stats"],
+                              tx), mesh)
+        multi_sh = make_pretrain_multi_step(model, mesh, donate=False)
+        state_c, losses_pk = multi_sh(state_c, p_dev, l_dev, rng)
+        np.testing.assert_allclose(np.asarray(losses_pk), seq_losses,
+                                   rtol=2e-3)
+
 
 def test_jit_init_static_bool_flags():
     """jit_init must keep python-bool positionals (train flags) static —

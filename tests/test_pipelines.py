@@ -112,3 +112,18 @@ def test_load_base_coding_prefix_preference(tmp_path):
     os.remove(f"{d}/hm_base_class_gp_coding_energy=0.9.npz")
     got_fb = load_base_coding(d, 0.9, prefixes=("hm_", ""))
     np.testing.assert_array_equal(got_fb, plain)
+
+
+def test_pretrain_multi_dispatch_packed(chain, tmp_path):
+    """Pretrain with steps_per_dispatch=2 + packed u8 transfers (the TPU
+    default policy, forced on CPU): loop runs one scanned chunk plus a
+    leftover single step per epoch, losses finite, checkpoint written."""
+    root, model_cfg, data_cfg = chain
+    log_dir = str(tmp_path / "log_pretrain_spd")
+    pre_cfg = PretrainConfig(batch_size=8, n_iters=2, eval_interval=2,
+                             log_dir=log_dir, steps_per_dispatch=2,
+                             h2d="packed")
+    result = pretrain(model_cfg, data_cfg, pre_cfg, mesh=None,
+                      max_steps_per_epoch=3, export_torch=False)
+    assert np.isfinite(result["history"][-1]["miou"])
+    assert os.path.exists(os.path.join(log_dir, "checkpoint.npz"))
