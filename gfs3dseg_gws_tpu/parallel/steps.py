@@ -438,6 +438,8 @@ def make_coding_step(model, num_base: int,
     """
 
     def step(variables, points, labels, gp):
+        points = unpack_points(points)   # no-op on dense f32 batches
+        labels = unpack_labels(labels)
         _, _, gw = model.apply(variables, points, gp, False,
                                method="get_features")      # (B, N, K)
         onehot = jax.nn.one_hot(labels, num_base + 1, dtype=gw.dtype)

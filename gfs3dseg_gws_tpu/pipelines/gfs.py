@@ -186,12 +186,14 @@ def init_variables(setup: GFSSetup, data_cfg, seed: int = 321) -> Dict:
 
 def collect_base_codings(model, variables, gp, dataset, n_base: int,
                          energy: float, batch_size: int = 16, mesh=None,
-                         seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+                         seed: int = 0,
+                         h2d: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
     """Reference train.py:156-218 — one sweep over the no-aug train set.
 
     Returns (base_class_coding (n_base, K) multi-hot, bg_class_coding (K,)).
     """
     step = cached_step(make_coding_step, model, n_base, mesh)
+    put_pair = make_batch_putter(mesh, _h2d_mode(h2d) == "packed")
     k = gp.shape[0]
     # bounded async dispatch — a per-batch np.asarray would put a tunnel
     # round-trip on every step (see validate())
@@ -215,14 +217,15 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
             points = points[:valid]
             labels = labels[:valid]
         if mesh is not None and points.shape[0] % mesh.devices.size != 0:
+            # un-shardable remainder batch: single-device step, but still
+            # one packed transfer when the mode allows
+            p_dev, l_dev = make_batch_putter(
+                None, _h2d_mode(h2d) == "packed")(points, labels)
             results.append(cached_step(make_coding_step, model, n_base,
-                                       None)(variables, points, labels, gp))
+                                       None)(variables, p_dev, l_dev, gp))
         else:
-            results.append(step(
-                variables,
-                shard_batch(points, mesh) if mesh else points,
-                shard_batch(labels, mesh) if mesh else labels,
-                gp))
+            p_dev, l_dev = put_pair(points, labels)
+            results.append(step(variables, p_dev, l_dev, gp))
         if len(results) > 48:
             consume(results.pop(0))
     for res in results:
@@ -587,7 +590,8 @@ def evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                       f"energy={train_cfg.energy} ----")
         base_coding, _ = collect_base_codings(
             setup.model, variables, setup.gp, setup.train_data_noaug,
-            n_base, train_cfg.energy, train_cfg.batch_size, mesh)
+            n_base, train_cfg.energy, train_cfg.batch_size, mesh,
+            h2d=getattr(train_cfg, "h2d", "auto"))
         os.makedirs(train_cfg.save_path, exist_ok=True)
         np.savez(os.path.join(
             train_cfg.save_path,
@@ -719,7 +723,8 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
             base_coding, bg_coding = collect_base_codings(
                 setup.model, variables_now, setup.gp,
                 setup.train_data_noaug, n_base, train_cfg.energy,
-                train_cfg.batch_size, mesh)
+                train_cfg.batch_size, mesh,
+                h2d=getattr(train_cfg, "h2d", "auto"))
 
         # ---- one training epoch
         loss_m, acc_m = AverageMeter(), AverageMeter()

@@ -83,3 +83,29 @@ def test_batched_codings_match_per_block_loop(setup, monkeypatch):
                                       err_msg=f"class {c}")
     ref_bg = np.mean(np.stack(bg_means), axis=0)
     np.testing.assert_allclose(bg_coding, ref_bg, rtol=1e-4, atol=1e-5)
+
+
+def test_coding_step_packed_matches_dense(setup):
+    """make_coding_step fed the single u8 transfer buffer (as both args)
+    equals the dense path on f16-exact inputs — the packed coding sweep
+    changes bytes on the wire only."""
+    from gfs3dseg_gws_tpu.parallel import make_coding_step, pack_batch
+    from gfs3dseg_gws_tpu.parallel.steps import unpack_points
+
+    model, variables, gp, _, n_base = setup
+    host = np.random.default_rng(9)
+    xyz = host.standard_normal((4, NPTS, 3)).astype(np.float16).astype(
+        np.float32)
+    rgb = host.integers(0, 256, (4, NPTS, 3)).astype(np.float32) / 255.0
+    sh = xyz - xyz.min(axis=1, keepdims=True)
+    XYZ = sh / sh.max(axis=1, keepdims=True)
+    pts = np.concatenate([xyz, rgb, XYZ], axis=-1)
+    lbl = host.integers(0, n_base + 1, (4, NPTS)).astype(np.int32)
+
+    step = make_coding_step(model, n_base, mesh=None)
+    buf = jnp.asarray(pack_batch(pts, lbl))
+    dense = step(variables, unpack_points(buf), jnp.asarray(lbl), gp)
+    packed = step(variables, buf, buf, gp)
+    for a, b in zip(dense, packed):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
