@@ -90,7 +90,8 @@ def main(argv=None):
         gamma=args.gamma, eval_interval=args.eval_interval,
         n_episode_test=args.n_episode_test, dist_method=args.dist_method,
         n_subprototypes=args.n_subprototypes, k_connect=args.k_connect,
-        sigma=args.sigma, use_attention=args.use_attention, seed=args.seed)
+        sigma=args.sigma, use_attention=args.use_attention, seed=args.seed,
+        h2d=args.h2d)
 
     if args.phase == "pretrain":
         log_dir = os.path.join(

@@ -236,8 +236,10 @@ def unpack_points(points):
         rgb = points[..., 6:9].astype(jnp.float32) / 255.0
     else:
         return points
-    shifted = xyz - jnp.min(xyz, axis=1, keepdims=True)
-    span = jnp.max(shifted, axis=1, keepdims=True)
+    # axis=-2 is the point axis (N): (B,N,3) batches and 4-D episodic
+    # layouts like (n_way,k_shot,N,3) both normalise per sampled cloud
+    shifted = xyz - jnp.min(xyz, axis=-2, keepdims=True)
+    span = jnp.max(shifted, axis=-2, keepdims=True)
     return jnp.concatenate([xyz, rgb, shifted / span], axis=-1)
 
 

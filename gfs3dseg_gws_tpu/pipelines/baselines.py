@@ -31,7 +31,8 @@ from gfs3dseg_gws_tpu.ops.metrics import (
     fewshot_miou,
 )
 from gfs3dseg_gws_tpu.parallel.optim import step_lr
-from gfs3dseg_gws_tpu.parallel.steps import jit_init
+from gfs3dseg_gws_tpu.parallel.steps import (jit_init, pack_batch,
+                                             unpack_labels, unpack_points)
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_checkpoint,
     restore_into,
@@ -60,6 +61,8 @@ class FewShotConfig:
     use_attention: bool = True
     log_dir: str = "log_fewshot"
     seed: int = 321
+    h2d: str = "auto"   # episode transfer: packed u8 buffers on TPU
+                        # (one support + one query put instead of four)
 
 
 def _build_model(kind: str, model_cfg, fs_cfg: FewShotConfig):
@@ -104,6 +107,8 @@ class FewShotLearner:
                  model_checkpoint_path: str = ""):
         self.model = _build_model(kind, model_cfg, fs_cfg)
         self.fs_cfg = fs_cfg
+        from gfs3dseg_gws_tpu.pipelines.gfs import _h2d_mode
+        self._packed = _h2d_mode(getattr(fs_cfg, "h2d", "auto")) == "packed"
         rng = jax.random.PRNGKey(fs_cfg.seed)
         n, cin = data_cfg.pc_npts, len(data_cfg.pc_attribs)
         sx = jnp.zeros((fs_cfg.n_way, fs_cfg.k_shot, n, cin))
@@ -136,6 +141,9 @@ class FewShotLearner:
 
         @jax.jit
         def train_step(params, batch_stats, opt_state, sx, sy, qx, qy, rng):
+            sx, sy = unpack_points(sx), unpack_labels(sy)
+            qx, qy = unpack_points(qx), unpack_labels(qy)
+
             def loss_fn(p):
                 (logits, loss), upd = model.apply(
                     {"params": p, "batch_stats": batch_stats},
@@ -153,6 +161,8 @@ class FewShotLearner:
 
         @jax.jit
         def test_step(params, batch_stats, sx, sy, qx, qy):
+            sx, sy = unpack_points(sx), unpack_labels(sy)
+            qx, qy = unpack_points(qx), unpack_labels(qy)
             logits, loss = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 sx, sy, qx, qy, False)
@@ -177,20 +187,37 @@ class FewShotLearner:
                                          strict=False)
         self.batch_stats = {**self.batch_stats, "feat": feat_s}
 
-    def train(self, episode, rng):
-        sx, sy, qx, qy = [jnp.asarray(a) for a in episode[:4]]
+    def _episode_args(self, episode):
+        """(sx, sy, qx, qy) transfer: packed mode ships ONE u8 buffer for
+        support and one for query (labels in byte 9, each buffer passed as
+        both the points and labels argument) — 2 H2D transfers per episode
+        instead of 4, each transfer through the axon tunnel costing ~60 ms
+        fixed latency (parallel.mesh.make_batch_putter rationale)."""
+        sx, sy, qx, qy = episode[:4]
+        if self._packed and np.asarray(sx).shape[-1] == 9:
+            sbuf = jax.device_put(pack_batch(sx, sy))
+            qbuf = jax.device_put(pack_batch(qx, qy))
+            return sbuf, sbuf, qbuf, qbuf
+        return (jnp.asarray(sx), jnp.asarray(sy).astype(jnp.int32),
+                jnp.asarray(qx), jnp.asarray(qy).astype(jnp.int32))
+
+    def train_async(self, episode, rng):
+        """One episodic update; returns DEVICE scalars (loss, acc) so the
+        caller can defer the host sync off the dispatch critical path."""
         (self.params, self.batch_stats, self.opt_state, loss,
          acc) = self._train_step(self.params, self.batch_stats,
-                                 self.opt_state, sx, sy.astype(jnp.int32),
-                                 qx, qy.astype(jnp.int32), rng)
+                                 self.opt_state, *self._episode_args(episode),
+                                 rng)
         self.step_count += 1
+        return loss, acc
+
+    def train(self, episode, rng):
+        loss, acc = self.train_async(episode, rng)
         return float(loss), float(acc)
 
     def test(self, episode):
-        sx, sy, qx, qy = [jnp.asarray(a) for a in episode[:4]]
         pred, cm, loss, acc = self._test_step(
-            self.params, self.batch_stats, sx, sy.astype(jnp.int32), qx,
-            qy.astype(jnp.int32))
+            self.params, self.batch_stats, *self._episode_args(episode))
         return np.asarray(pred), np.asarray(cm), float(loss), float(acc)
 
     def save(self, path: str, meta: Optional[Dict] = None):
@@ -246,13 +273,22 @@ def episodic_train(kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,
     best_iou = -1.0
     n_iters = min(fs_cfg.n_iters, max_iters or fs_cfg.n_iters)
     rng0 = np.random.default_rng(fs_cfg.seed)
+    # defer the per-episode loss sync ~16 dispatches (float() would put a
+    # tunnel round-trip on every episode's critical path; see gfs.validate)
+    pending = []
     for it in range(n_iters):
         episode = train_ds.__getitem__(it, rng=np.random.default_rng(
             (fs_cfg.seed, it)))
-        loss, acc = learner.train(episode, jax.random.PRNGKey(it))
+        loss, acc = learner.train_async(episode, jax.random.PRNGKey(it))
+        pending.append((loss, acc))
         if (it + 1) % 50 == 0 or it == 0:
+            pending = pending[-1:]
+            loss, acc = float(pending[0][0]), float(pending[0][1])
             logger.cprint(f"=====[Train] Iter: {it} | Loss: {loss:.4f} | "
                           f"Accuracy: {acc:f} =====")
+        while len(pending) > 16:
+            l, a = pending.pop(0)
+            float(l), float(a)
         if (it + 1) % fs_cfg.eval_interval == 0 or it + 1 == n_iters:
             valid_loss, mean_iou = test_few_shot(bank, learner, logger,
                                                  valid_classes)

@@ -175,3 +175,60 @@ class TestEpisodicEval:
         miou = episodic_eval("proto", model_cfg, data_cfg, fs_cfg, ckpt,
                              mode="test", bank_episodes=1)
         assert np.isfinite(miou)
+
+
+class TestPackedEpisodes:
+    def test_packed_episode_matches_dense(self, synth, tmp_path):
+        """Packed episode transfer (one u8 buffer each for support/query,
+        labels in byte 9) reproduces the dense test step on f16-exact
+        inputs; training with packed episodes stays finite."""
+        _, train_dir, _ = synth
+        model_cfg = ModelConfig(**TINY)
+        data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                              pc_npts=NPTS, k_shot=2)
+        fs_cfg = FewShotConfig(n_way=2, k_shot=2, dist_method="cosine",
+                               log_dir=str(tmp_path / "pk"), h2d="exact")
+        learner = FewShotLearner("proto", model_cfg, data_cfg, fs_cfg)
+
+        host = np.random.default_rng(11)
+
+        def cloud(*lead):
+            xyz = host.standard_normal(lead + (NPTS, 3)).astype(
+                np.float16).astype(np.float32)
+            rgb = host.integers(0, 256, lead + (NPTS, 3)).astype(
+                np.float32) / 255.0
+            sh = xyz - xyz.min(axis=-2, keepdims=True)
+            XYZ = sh / sh.max(axis=-2, keepdims=True)
+            return np.concatenate([xyz, rgb, XYZ], axis=-1)
+
+        sx, qx = cloud(2, 2), cloud(2)
+        sy = host.integers(0, 2, (2, 2, NPTS)).astype(np.int32)
+        qy = host.integers(0, 3, (2, NPTS)).astype(np.int32)
+        episode = (sx, sy, qx, qy)
+
+        assert learner._packed is False
+        pred_d, cm_d, loss_d, acc_d = learner.test(episode)
+        learner._packed = True
+        pred_p, cm_p, loss_p, acc_p = learner.test(episode)
+        np.testing.assert_allclose(loss_p, loss_d, rtol=1e-5)
+        # sub-ulp fusion differences may flip argmax only on exact ties
+        assert (pred_p == pred_d).mean() > 0.999
+        assert abs(acc_p - acc_d) < 2e-3
+
+        loss, acc = learner.train(episode, jax.random.PRNGKey(0))
+        assert np.isfinite(loss) and 0.0 <= acc <= 1.0
+
+    def test_proto_train_packed_smoke(self, synth, tmp_path):
+        """episodic_train end to end with forced packed transfers + the
+        deferred-sync loop."""
+        _, train_dir, _ = synth
+        model_cfg = ModelConfig(**TINY)
+        data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                              pc_npts=NPTS, k_shot=2)
+        fs_cfg = FewShotConfig(n_way=2, k_shot=2, n_iters=4, eval_interval=4,
+                               n_episode_test=1, dist_method="cosine",
+                               log_dir=str(tmp_path / "log_proto_pk"),
+                               h2d="packed")
+        out = episodic_train("proto", model_cfg, data_cfg, fs_cfg,
+                             max_iters=4, bank_episodes=1)
+        assert np.isfinite(out["best_iou"])
