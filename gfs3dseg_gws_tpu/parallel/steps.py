@@ -240,6 +240,10 @@ def unpack_points(points):
     # layouts like (n_way,k_shot,N,3) both normalise per sampled cloud
     shifted = xyz - jnp.min(xyz, axis=-2, keepdims=True)
     span = jnp.max(shifted, axis=-2, keepdims=True)
+    # degenerate axis (coplanar block / f16-collapsed span): match the
+    # native loader's span<=0 -> 1.0 guard (blockloader.cc:272) instead
+    # of emitting 0/0 = NaN features
+    span = jnp.where(span <= 0.0, 1.0, span)
     return jnp.concatenate([xyz, rgb, shifted / span], axis=-1)
 
 

@@ -524,17 +524,10 @@ def mpti_test_gfs(model_cfg, data_cfg, fs_cfg: FewShotConfig,
     from gfs3dseg_gws_tpu.data.datasets import (
         PretrainBlockDataset, TestingDataset, ValSuppDataset)
     from gfs3dseg_gws_tpu.data.registry import make_registry
-    from gfs3dseg_gws_tpu.models.mpti import multi_prototypes
-    from gfs3dseg_gws_tpu.ops.linalg import (
-        label_propagate, local_constrained_affinity)
+    from gfs3dseg_gws_tpu.data.sampler import LegacyRNG
     from gfs3dseg_gws_tpu.ops.metrics import gfs_miou
 
     logger = logger or init_logger(fs_cfg.log_dir, phase="mptigfs")
-    from gfs3dseg_gws_tpu.data.datasets import (
-        PretrainBlockDataset, TestingDataset, ValSuppDataset)
-    from gfs3dseg_gws_tpu.data.registry import make_registry
-    from gfs3dseg_gws_tpu.data.sampler import LegacyRNG
-    from gfs3dseg_gws_tpu.ops.metrics import gfs_miou
 
     learner = FewShotLearner("mpti", model_cfg, data_cfg, fs_cfg,
                              model_checkpoint_path=model_checkpoint_path)
@@ -608,7 +601,7 @@ def mpti_test_gfs(model_cfg, data_cfg, fs_cfg: FewShotConfig,
     for pred, gt in zip(pred_list, gt_list):
         np.add.at(cm, (gt, pred), 1)
 
-        scannet = n_all > 13
+    scannet = n_all > 13
     # cm here is already in class-name space -> identity learning order
     mean_iou, base_iou, novel_iou, hm, iou_list = gfs_miou(
         cm, list(range(n_all)), novel_classes, scannet=scannet)

@@ -12,6 +12,7 @@ Validates, at the production shape (16, 2048, 64, K=20):
 
 Prints OK on success. Referenced by .claude/skills/verify/SKILL.md.
 """
+import os
 import sys
 
 import numpy as np
@@ -19,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gfs3dseg_gws_tpu.ops import fused_edgeconv_train as fet  # noqa: E402
 from gfs3dseg_gws_tpu.ops import knn as knn_mod  # noqa: E402

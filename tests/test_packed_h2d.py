@@ -91,6 +91,23 @@ def test_pack_batch_roundtrip():
     np.testing.assert_array_equal(buf_s[0], buf)
 
 
+def test_unpack_degenerate_span_is_finite():
+    """A block coplanar in one axis (constant z) must unpack to finite
+    XYZ — matches the native loader's span<=0 -> 1.0 guard
+    (blockloader.cc:272); without it the default TPU packed path feeds
+    0/0 = NaN into training."""
+    rng = np.random.default_rng(7)
+    xyz = rng.standard_normal((1, 64, 3)).astype(np.float16).astype(
+        np.float32)
+    xyz[..., 2] = 1.25                      # zero span in z
+    rgb = rng.integers(0, 256, (1, 64, 3)).astype(np.float32) / 255.0
+    pts = np.concatenate([xyz, rgb, np.zeros_like(xyz)], axis=-1)
+    lbl = np.zeros((1, 64), np.int64)
+    out = np.asarray(unpack_points(jnp.asarray(pack_batch(pts, lbl))))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[..., 8], 0.0)   # shifted z == 0
+
+
 def test_train_step_packed_matches_exact():
     """The GFS train step fed the u8 buffer (as both args) reproduces the
     dense-f32 step on f16-exact inputs — transfer packing changes bytes
