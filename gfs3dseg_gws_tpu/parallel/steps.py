@@ -202,6 +202,15 @@ def pack_batch(points, labels=None):
     pts = np.asarray(points)
     buf = np.empty(pts.shape[:-1] + (PACKED_POINT_BYTES,), np.uint8)
     xyz16 = np.ascontiguousarray(pts[..., 0:3].astype(np.float16))
+    if np.isinf(xyz16).any() and np.isfinite(pts[..., 0:3]).all():
+        # room-scale block coords always fit f16 (|x| <= 65504); a dataset
+        # with huge absolute coordinates (UTM offsets, mm units) must use
+        # the exact path rather than silently shipping inf
+        import warnings
+
+        warnings.warn(
+            "pack_batch: coordinates overflow float16; use h2d='exact' "
+            "(or GFS3D_EXACT_H2D=1) for this dataset", RuntimeWarning)
     buf[..., 0:6] = xyz16.view(np.uint8).reshape(pts.shape[:-1] + (6,))
     buf[..., 6:9] = np.clip(np.rint(pts[..., 3:6] * 255.0), 0, 255)
     buf[..., 9] = 0 if labels is None else np.asarray(labels)
