@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# One-shot TPU validation: runs every TPU-only gate + the bench triplet.
+# Use after any change to the compute path, or after a tunnel outage, to
+# re-establish the full TPU evidence in one command:
+#   nohup bash scripts/tpu_gates.sh > /tmp/tpu_gates.log 2>&1 &
+# Each stage prints a BEGIN/END marker so a partial log shows where it died.
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "===== BEGIN $1"
+  shift
+  "$@"
+  echo "===== END rc=$?"
+}
+
+run "probe" timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128,128)); print('TPU OK', float((x@x).sum()))"
+
+run "attention-dropout gate" timeout 600 python scripts/check_attention_dropout.py
+run "fused-train-kernel gate" timeout 600 python scripts/check_train_kernels.py
+run "bench eval" timeout 600 python bench.py
+run "bench train" timeout 600 python bench.py --train
+run "bench sweep" timeout 600 python bench.py --sweep
