@@ -61,15 +61,32 @@ def make_batch_putter(mesh: Optional[Mesh], packed: bool):
     """
     from gfs3dseg_gws_tpu.parallel.steps import pack_batch
 
+    state = {"packed": packed, "warned": False}
+
     def put_pair(points, labels, stacked: bool = False):
-        if packed:
-            buf = pack_batch(points, labels)
-            if mesh is not None:
-                buf = (shard_stacked_batch if stacked
-                       else shard_batch)(buf, mesh)
+        if state["packed"]:
+            try:
+                buf = pack_batch(points, labels)
+            except ValueError as e:
+                # non-default --pc_attribs (not 9-feature xyzrgbXYZ) or
+                # labels outside u8: the packed wire format cannot carry
+                # the batch — permanently drop to the exact dense path
+                # rather than crash the default-on TPU mode
+                if not state["warned"]:
+                    import warnings
+
+                    warnings.warn(f"packed H2D unavailable for this data "
+                                  f"({e}); using exact transfers",
+                                  RuntimeWarning)
+                    state["warned"] = True
+                state["packed"] = False
             else:
-                buf = jax.device_put(buf)
-            return buf, buf
+                if mesh is not None:
+                    buf = (shard_stacked_batch if stacked
+                           else shard_batch)(buf, mesh)
+                else:
+                    buf = jax.device_put(buf)
+                return buf, buf
         if mesh is not None:
             put = shard_stacked_batch if stacked else shard_batch
             return put(points, mesh), put(labels, mesh)

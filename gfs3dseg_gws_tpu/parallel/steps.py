@@ -184,6 +184,26 @@ def make_gfs_multi_train_step(model, mesh: Optional[Mesh] = None,
 PACKED_POINT_BYTES = 10   # xyz f16 (6) | rgb u8 (3) | label u8 (1)
 
 
+def pack_quantized_parts(xyz16, rgb8, labels):
+    """Assemble the (…, N, 10) u8 wire buffer from pre-quantised parts.
+
+    Single owner of the packed byte layout (xyz f16 LE bytes 0:6 | rgb u8
+    6:9 | label u8 9) shared by `pack_batch` (host f32 batches) and the
+    packed static_test sweep (`pipelines/gfs.py::eval_batches`, which reads
+    the parts straight from the f16/u8 memmap cache).  `unpack_points` /
+    `unpack_labels` are the device-side decoders of this exact layout.
+    """
+    import numpy as np
+
+    xyz16 = np.asarray(xyz16, np.float16)
+    buf = np.empty(xyz16.shape[:-1] + (PACKED_POINT_BYTES,), np.uint8)
+    buf[..., 0:6] = np.ascontiguousarray(xyz16).view(np.uint8).reshape(
+        xyz16.shape[:-1] + (6,))
+    buf[..., 6:9] = rgb8
+    buf[..., 9] = labels
+    return buf
+
+
 def pack_batch(points, labels=None):
     """Host-side: (..., N, 9) f32 xyzrgbXYZ (+ labels) -> ONE contiguous
     (..., N, 10) uint8 transfer buffer.
@@ -200,7 +220,13 @@ def pack_batch(points, labels=None):
     import numpy as np
 
     pts = np.asarray(points)
-    buf = np.empty(pts.shape[:-1] + (PACKED_POINT_BYTES,), np.uint8)
+    if pts.shape[-1] != 9:
+        # the layout assumes the reference's full xyzrgbXYZ attribute set
+        # (dataloaders/loader.py:97-101); reduced --pc_attribs must ship
+        # dense (make_batch_putter falls back to the exact path on this)
+        raise ValueError(
+            f"pack_batch requires 9-feature xyzrgbXYZ points, got "
+            f"{pts.shape[-1]}; use h2d='exact' for other --pc_attribs")
     xyz16 = np.ascontiguousarray(pts[..., 0:3].astype(np.float16))
     if np.isinf(xyz16).any() and np.isfinite(pts[..., 0:3]).all():
         # room-scale block coords always fit f16 (|x| <= 65504); a dataset
@@ -211,20 +237,28 @@ def pack_batch(points, labels=None):
         warnings.warn(
             "pack_batch: coordinates overflow float16; use h2d='exact' "
             "(or GFS3D_EXACT_H2D=1) for this dataset", RuntimeWarning)
-    buf[..., 0:6] = xyz16.view(np.uint8).reshape(pts.shape[:-1] + (6,))
-    buf[..., 6:9] = np.clip(np.rint(pts[..., 3:6] * 255.0), 0, 255)
-    buf[..., 9] = 0 if labels is None else np.asarray(labels)
-    return buf
+    if labels is None:
+        lbl = 0
+    else:
+        lbl = np.asarray(labels)
+        if lbl.min() < 0 or lbl.max() > 255:
+            # the label byte is u8; a negative ignore label (-1/-100) would
+            # silently wrap to a valid-looking class id after the device
+            # upcast — fail loudly instead (the putter falls back to exact)
+            raise ValueError(
+                f"pack_batch labels outside the u8 range "
+                f"[{lbl.min()}, {lbl.max()}]; use h2d='exact' for datasets "
+                "with negative/large ignore labels")
+    rgb8 = np.clip(np.rint(pts[..., 3:6] * 255.0), 0, 255)
+    return pack_quantized_parts(xyz16, rgb8, lbl)
 
 
 def unpack_points(points):
     """Reconstruct (B, N, 9) xyzrgbXYZ features from a packed H2D payload.
 
-    `points` is one of
-      - the dense f32 array (exact path),
-      - a (xyz (B,N,3) f16, rgb (B,N,3) u8) tuple (legacy packed eval), or
-      - the single (B, N, 10) uint8 buffer from `pack_batch` (labels ride
-        in byte 9 and are read by `unpack_labels`).
+    `points` is either the dense f32 array (exact path) or the single
+    (B, N, 10) uint8 buffer from `pack_quantized_parts`/`pack_batch`
+    (labels ride in byte 9 and are read by `unpack_labels`).
     9-10 bytes/point instead of 36-40 — a ~4x cut of the host->device
     transfer that bounds the end-to-end sweep and host-fed train loop
     through the axon tunnel (~40 MB/s + ~60 ms/transfer).  The normalised
@@ -234,11 +268,7 @@ def unpack_points(points):
     path: coords quantised to f16 (<=2^-11 relative) and XYZ/rgb recomputed
     in f32 device arithmetic; use h2d="exact" for strict parity.
     """
-    if isinstance(points, (tuple, list)):
-        xyz16, rgb8 = points
-        xyz = xyz16.astype(jnp.float32)
-        rgb = rgb8.astype(jnp.float32) / 255.0
-    elif points.dtype == jnp.uint8:
+    if points.dtype == jnp.uint8:
         pairs = points[..., 0:6].reshape(points.shape[:-1] + (3, 2))
         xyz = jax.lax.bitcast_convert_type(pairs, jnp.float16
                                            ).astype(jnp.float32)
@@ -257,10 +287,10 @@ def unpack_points(points):
 
 
 def unpack_labels(labels):
-    """Labels from any transfer form: dense int (B,N); u8 (B,N) (legacy
-    packed eval); or the (B, N, 10) u8 `pack_batch` buffer (byte 9) —
-    callers in single-buffer mode pass the SAME device buffer as both the
-    points and labels argument, so only one H2D transfer happens."""
+    """Labels from either transfer form: dense int (B,N), or the
+    (B, N, 10) u8 `pack_batch` buffer (byte 9) — callers in single-buffer
+    mode pass the SAME device buffer as both the points and labels
+    argument, so only one H2D transfer happens."""
     if labels.dtype == jnp.uint8 and labels.ndim >= 3 \
             and labels.shape[-1] == PACKED_POINT_BYTES:
         return labels[..., 9].astype(jnp.int32)

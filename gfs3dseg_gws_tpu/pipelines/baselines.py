@@ -31,8 +31,8 @@ from gfs3dseg_gws_tpu.ops.metrics import (
     fewshot_miou,
 )
 from gfs3dseg_gws_tpu.parallel.optim import step_lr
-from gfs3dseg_gws_tpu.parallel.steps import (jit_init, pack_batch,
-                                             unpack_labels, unpack_points)
+from gfs3dseg_gws_tpu.parallel.steps import (jit_init, unpack_labels,
+                                             unpack_points)
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_checkpoint,
     restore_into,
@@ -107,8 +107,10 @@ class FewShotLearner:
                  model_checkpoint_path: str = ""):
         self.model = _build_model(kind, model_cfg, fs_cfg)
         self.fs_cfg = fs_cfg
+        from gfs3dseg_gws_tpu.parallel.mesh import make_batch_putter
         from gfs3dseg_gws_tpu.pipelines.gfs import _h2d_mode
-        self._packed = _h2d_mode(getattr(fs_cfg, "h2d", "auto")) == "packed"
+        self._put_pair = make_batch_putter(
+            None, _h2d_mode(getattr(fs_cfg, "h2d", "auto")) == "packed")
         rng = jax.random.PRNGKey(fs_cfg.seed)
         n, cin = data_cfg.pc_npts, len(data_cfg.pc_attribs)
         sx = jnp.zeros((fs_cfg.n_way, fs_cfg.k_shot, n, cin))
@@ -188,18 +190,16 @@ class FewShotLearner:
         self.batch_stats = {**self.batch_stats, "feat": feat_s}
 
     def _episode_args(self, episode):
-        """(sx, sy, qx, qy) transfer: packed mode ships ONE u8 buffer for
-        support and one for query (labels in byte 9, each buffer passed as
-        both the points and labels argument) — 2 H2D transfers per episode
-        instead of 4, each transfer through the axon tunnel costing ~60 ms
-        fixed latency (parallel.mesh.make_batch_putter rationale)."""
+        """(sx, sy, qx, qy) transfer via the shared transfer policy
+        (parallel.mesh.make_batch_putter): packed mode ships ONE u8 buffer
+        for support and one for query (labels in byte 9, each buffer passed
+        as both the points and labels argument) — 2 H2D transfers per
+        episode instead of 4, each transfer through the axon tunnel costing
+        ~60 ms fixed latency; non-9-feature attribs / out-of-u8 labels fall
+        back to exact dense transfers inside the putter."""
         sx, sy, qx, qy = episode[:4]
-        if self._packed and np.asarray(sx).shape[-1] == 9:
-            sbuf = jax.device_put(pack_batch(sx, sy))
-            qbuf = jax.device_put(pack_batch(qx, qy))
-            return sbuf, sbuf, qbuf, qbuf
-        return (jnp.asarray(sx), jnp.asarray(sy).astype(jnp.int32),
-                jnp.asarray(qx), jnp.asarray(qy).astype(jnp.int32))
+        return (*self._put_pair(np.asarray(sx), np.asarray(sy, np.int32)),
+                *self._put_pair(np.asarray(qx), np.asarray(qy, np.int32)))
 
     def train_async(self, episode, rng):
         """One episodic update; returns DEVICE scalars (loss, acc) so the

@@ -48,7 +48,7 @@ from gfs3dseg_gws_tpu.parallel import (
     shard_batch,
     shard_stacked_batch,
 )
-from gfs3dseg_gws_tpu.parallel.steps import cached_step
+from gfs3dseg_gws_tpu.parallel.steps import cached_step, pack_quantized_parts
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_basis,
     load_checkpoint,
@@ -372,12 +372,7 @@ def eval_batches(val_dataset, batch_size: int, h2d: str = "auto"):
                 # axon tunnel pays ~60 ms fixed latency, so three arrays
                 # per batch cost more than the payload itself
                 xyz16, rgb8 = parts
-                buf = np.empty(xyz16.shape[:-1] + (10,), np.uint8)
-                buf[..., 0:6] = np.ascontiguousarray(xyz16).view(
-                    np.uint8).reshape(xyz16.shape[:-1] + (6,))
-                buf[..., 6:9] = rgb8
-                buf[..., 9] = lbl
-                yield buf, None, valid
+                yield pack_quantized_parts(xyz16, rgb8, lbl), None, valid
             else:
                 yield parts[0], lbl, valid
         return

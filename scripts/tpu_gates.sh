@@ -11,7 +11,15 @@ run() {
   echo "===== BEGIN $1"
   shift
   "$@"
-  echo "===== END rc=$?"
+  local rc=$?
+  echo "===== END rc=$rc"
+  if [ "$rc" -eq 124 ]; then
+    # a timeout-killed TPU process can leave the NEXT compile hung for
+    # minutes (CLAUDE.md) — give the tunnel a settle window before the
+    # following stage so one slow stage doesn't cascade into false FAILs
+    echo "===== stage timed out; letting the tunnel settle 20s"
+    sleep 20
+  fi
 }
 
 run "probe" timeout 120 python -c "

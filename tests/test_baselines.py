@@ -206,9 +206,10 @@ class TestPackedEpisodes:
         qy = host.integers(0, 3, (2, NPTS)).astype(np.int32)
         episode = (sx, sy, qx, qy)
 
-        assert learner._packed is False
+        from gfs3dseg_gws_tpu.parallel.mesh import make_batch_putter
+
         pred_d, cm_d, loss_d, acc_d = learner.test(episode)
-        learner._packed = True
+        learner._put_pair = make_batch_putter(None, packed=True)
         pred_p, cm_p, loss_p, acc_p = learner.test(episode)
         np.testing.assert_allclose(loss_p, loss_d, rtol=1e-5)
         # sub-ulp fusion differences may flip argmax only on exact ties

@@ -91,6 +91,50 @@ def test_pack_batch_roundtrip():
     np.testing.assert_array_equal(buf_s[0], buf)
 
 
+def test_pack_batch_rejects_unpackable_data():
+    """The packed wire format carries exactly xyzrgbXYZ + u8 labels; other
+    --pc_attribs widths and out-of-u8 labels (negative ignore ids) must
+    fail loudly, not wrap silently (auto h2d makes packing the TPU
+    default)."""
+    rng = np.random.default_rng(11)
+    six = rng.random((2, 32, 6)).astype(np.float32)     # xyzrgb only
+    with pytest.raises(ValueError, match="9-feature"):
+        pack_batch(six, np.zeros((2, 32), np.int32))
+    pts = rng.random((2, 32, 9)).astype(np.float32)
+    with pytest.raises(ValueError, match="u8 range"):
+        pack_batch(pts, np.full((2, 32), -1, np.int32))
+    with pytest.raises(ValueError, match="u8 range"):
+        pack_batch(pts, np.full((2, 32), 300, np.int32))
+
+
+def test_batch_putter_falls_back_to_exact():
+    """make_batch_putter(packed=True) with unpackable data warns ONCE and
+    permanently drops to the exact dense path instead of crashing the
+    default-on TPU packed mode."""
+    from gfs3dseg_gws_tpu.parallel.mesh import make_batch_putter
+
+    rng = np.random.default_rng(12)
+    six = rng.random((2, 32, 6)).astype(np.float32)
+    lbl = np.zeros((2, 32), np.int32)
+    put = make_batch_putter(None, packed=True)
+    with pytest.warns(RuntimeWarning, match="packed H2D unavailable"):
+        p, l = put(six, lbl)
+    assert p.shape == (2, 32, 6) and l.shape == (2, 32)   # dense pair
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")                    # warns only once
+        p, l = put(six, lbl)
+    assert p.shape[-1] == 6
+
+    # negative ignore labels: same fallback, 9-feature points ship dense
+    pts = rng.random((2, 32, 9)).astype(np.float32)
+    neg = np.full((2, 32), -1, np.int32)
+    put2 = make_batch_putter(None, packed=True)
+    with pytest.warns(RuntimeWarning, match="packed H2D unavailable"):
+        p, l = put2(pts, neg)
+    assert p.dtype == np.float32 and l.min() == -1
+
+
 def test_unpack_degenerate_span_is_finite():
     """A block coplanar in one axis (constant z) must unpack to finite
     XYZ — matches the native loader's span<=0 -> 1.0 guard
