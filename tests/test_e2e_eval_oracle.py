@@ -1,0 +1,221 @@
+"""END-TO-END --only_evaluate parity vs the REFERENCE's own train.py.
+
+The per-stage oracles (test_reference_oracle.py a-m) pin every compute
+stage and the fixture-RNG oracle pins the materialised support/query sets;
+this test closes the remaining integration surface by running the FULL
+evaluation orchestration of both frameworks on identical inputs:
+
+  reference: train.py::main(--only_evaluate) (train.py:309-499) — its own
+    registry, fixture materialisation, coding-artifact load, 5-seed
+    registration, validate() sweeps, evaluate_metric_GFS and seed
+    averaging — executed in-process on CPU torch.
+  ours:      pipelines.gfs.evaluate_gfs — the same chain through the JAX
+    pipeline, reading the SAME data dir (so the reference-materialised
+    ValSupp_S*_K*_Seed* / static_test_{npts} fixtures, class2scans.pkl,
+    basis pickle, torch model checkpoint and torch coding artifact are
+    shared byte-for-byte).
+
+Asserts the logged 4 aggregate metrics and the per-class mean-IoU table
+agree. This is the composition proof behind BASELINE.md's +-0.5-mIoU
+claim: with fixtures, weights, codings and every stage shared/pinned, the
+only remaining gap to the reference on real data is the data itself.
+"""
+import importlib.util
+import os
+import pickle
+import random
+import re
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from gfs3dseg_gws_tpu.data import make_synthetic_blocks
+from gfs3dseg_gws_tpu.models.capl import GWCAPL
+from gfs3dseg_gws_tpu.pipelines.gfs import evaluate_gfs
+from gfs3dseg_gws_tpu.utils.checkpoint import save_torch_gfs_checkpoint
+from gfs3dseg_gws_tpu.utils.config import DataConfig, ModelConfig, TrainConfig
+
+REFERENCE_ROOT = "/root/reference"
+
+NPTS = 128
+NUM_GW = 32
+CLASSES, BASE_NUM = 13, 7
+K_SHOT = 2
+BATCH = 8    # divisible by the CI conftest's 8-device virtual mesh
+ENERGY = 0.9
+EVAL_WEIGHT = 1.2
+EDGE_WIDTHS = ((64, 64), (64, 64), (64, 64))
+MLP_WIDTHS = (512, 256)
+BASE_WIDTHS = (128, 64)
+OUTPUT_DIM = 64
+FEAT_DIM = 192
+
+pytestmark = pytest.mark.slow
+
+
+def _import_ref_train():
+    """Load the reference's train.py as a module, CPU/env-shimmed (same
+    shims as test_fixture_rng_oracle / test_reference_oracle)."""
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not available")
+    if "transforms3d" not in sys.modules:
+        t3d = types.ModuleType("transforms3d")
+        zooms = types.ModuleType("transforms3d.zooms")
+        axangles = types.ModuleType("transforms3d.axangles")
+        zooms.zfdir2mat = lambda f, direction=None: np.diag([float(f)] * 3)
+        axangles.axangle2mat = None   # unused with pc_augm=False
+        t3d.zooms, t3d.axangles = zooms, axangles
+        sys.modules["transforms3d"] = t3d
+        sys.modules["transforms3d.zooms"] = zooms
+        sys.modules["transforms3d.axangles"] = axangles
+    if not hasattr(np, "int"):
+        np.int = int   # reference loader.py:124 uses the removed alias
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_train_e2e", os.path.join(REFERENCE_ROOT, "train.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return mod
+
+
+def _ref_args(train_dir, test_dir, save_path, basis_path, ckpt_path):
+    """The argparse namespace train.py:733-831 would produce for the same
+    --only_evaluate invocation we run on our CLI."""
+    return types.SimpleNamespace(
+        phase="test", dataset="s3dis", cvfold=0,
+        data_path=train_dir, testing_data_path=test_dir,
+        save_path=save_path, basis_path=basis_path,
+        model_checkpoint_path=ckpt_path, pretrain_checkpoint_path="",
+        use_pretrain_weight=False, only_evaluate=True, evaluate=True,
+        batch_size=BATCH, n_workers=0, k_shot=K_SHOT, pc_npts=NPTS,
+        pc_attribs="xyzrgbXYZ", pc_in_dim=9, pc_augm=False,
+        pc_augm_scale=0.0, pc_augm_rot=1, pc_augm_mirror_prob=0.0,
+        pc_augm_jitter=1, dgcnn_k=20,
+        edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
+        dgcnn_mlp_widths=list(MLP_WIDTHS), base_widths=list(BASE_WIDTHS),
+        output_dim=OUTPUT_DIM, eval_weight=EVAL_WEIGHT, energy=ENERGY,
+        total_classes=CLASSES, base_lr=0.01, step_size=50, gamma=0.5,
+        epochs=150, start_epoch=0, print_freq=20, seed=321)
+
+
+def _parse_metrics(log_path):
+    with open(log_path) as f:
+        text = f.read()
+    m = re.search(r"Eval result: Final mIoU: ([\d.eE+-]+), BASE: "
+                  r"([\d.eE+-]+), NOVEL: ([\d.eE+-]+), hm_mIoU: "
+                  r"([\d.eE+-]+)", text)
+    assert m, f"no eval-result line in {log_path}"
+    agg = [float(g) for g in m.groups()]
+    per_class = [float(v) for v in re.findall(
+        r"class \d+, iou over multiple runs: ([\d.eE+-]+)", text)]
+    return agg, per_class
+
+
+def test_only_evaluate_end_to_end_matches_reference(tmp_path):
+    root = str(tmp_path)
+    train_dir, test_dir = make_synthetic_blocks(
+        root, n_train_blocks=36, n_test_blocks=13,
+        points_per_block=NPTS + NPTS // 2, seed=19)
+
+    # ---- shared artifacts: basis, model checkpoint, coding
+    gen = np.random.default_rng(41)
+    basis = gen.standard_normal((NUM_GW, FEAT_DIM)).astype(np.float32)
+    basis_path = os.path.join(root, "basis.pkl")
+    with open(basis_path, "wb") as f:
+        pickle.dump(basis, f)
+
+    model = GWCAPL(classes=CLASSES, base_num=BASE_NUM, num_gw=NUM_GW,
+                   main_dim=128, eval_weight=EVAL_WEIGHT,
+                   edgeconv_widths=EDGE_WIDTHS, mlp_widths=MLP_WIDTHS,
+                   base_widths=BASE_WIDTHS, output_dim=OUTPUT_DIM,
+                   k=20, use_pallas=False)
+    rng = jax.random.PRNGKey(3)
+    variables = model.init(
+        {"params": rng, "dropout": rng, "fake": rng},
+        jnp.zeros((2, NPTS, 9)), jnp.zeros((2, NPTS), jnp.int32),
+        jnp.zeros((NUM_GW, FEAT_DIM)), train=True)
+
+    def perturb(path, leaf):   # exercise the BN-stat conversion path
+        name = "/".join(str(p.key) for p in path)
+        arr = np.asarray(leaf)
+        if name.endswith("mean"):
+            return jnp.asarray(gen.uniform(-0.2, 0.2, arr.shape)
+                               .astype(np.float32))
+        return jnp.asarray(gen.uniform(0.5, 1.5, arr.shape)
+                           .astype(np.float32))
+
+    stats = jax.tree_util.tree_map_with_path(perturb,
+                                             variables["batch_stats"])
+    ckpt_path = os.path.join(root, "train_epoch_5_test.pth")
+    save_torch_gfs_checkpoint(variables["params"], stats, ckpt_path,
+                              epoch=5, max_iou=0.5)
+
+    coding = (gen.random((BASE_NUM, NUM_GW)) < 0.4).astype(np.float32)
+    ref_save = os.path.join(root, "ref_eval")
+    our_save = os.path.join(root, "our_eval")
+    for d in (ref_save, our_save):
+        os.makedirs(d, exist_ok=True)
+        torch.save(torch.from_numpy(coding),
+                   os.path.join(d, f"base_class_gp_coding_energy="
+                                   f"{ENERGY}.pth"))
+
+    # ---- reference run (materialises the fixtures both sides share)
+    ref_train = _import_ref_train()
+    orig_t_cuda = torch.Tensor.cuda
+    orig_m_cuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        args = _ref_args(train_dir, test_dir, ref_save, basis_path,
+                         ckpt_path)
+        # replicate the reference __main__ seeding (train.py:825-828):
+        # the static_test materialisation consumes this global stream
+        torch.manual_seed(args.seed)
+        np.random.seed(args.seed)
+        random.seed(args.seed)
+        with pytest.raises(SystemExit):
+            ref_train.main(args, basis_path=basis_path)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+        torch.Tensor.cuda = orig_t_cuda
+        torch.nn.Module.cuda = orig_m_cuda
+    ref_agg, ref_per_class = _parse_metrics(
+        os.path.join(ref_save, "log_test.txt"))
+    assert len(ref_per_class) == CLASSES
+    assert os.path.isdir(os.path.join(test_dir, f"static_test_{NPTS}"))
+    assert os.path.isdir(os.path.join(
+        train_dir, f"ValSupp_S0_K{K_SHOT}_Seed10"))
+
+    # ---- our run on the same dirs (reads the reference's fixtures)
+    model_cfg = ModelConfig(pc_npts=NPTS, edgeconv_widths=EDGE_WIDTHS,
+                            dgcnn_mlp_widths=MLP_WIDTHS,
+                            base_widths=BASE_WIDTHS, output_dim=OUTPUT_DIM,
+                            use_pallas=False)
+    data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                          testing_data_path=test_dir, pc_npts=NPTS,
+                          k_shot=K_SHOT, n_workers=0)
+    train_cfg = TrainConfig(batch_size=BATCH, energy=ENERGY,
+                            eval_weight=EVAL_WEIGHT, seed=321,
+                            save_path=our_save, basis_path=basis_path,
+                            model_checkpoint_path=ckpt_path,
+                            only_evaluate=True, h2d="exact")
+    ours = evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None)
+
+    our_agg = [ours["mean_iou"], ours["base_iou"], ours["novel_iou"],
+               ours["hm_iou"]]
+    np.testing.assert_allclose(our_agg, ref_agg, rtol=1e-3, atol=1e-4,
+                               err_msg="aggregate GFS metrics diverge")
+    np.testing.assert_allclose(ours["per_class"], ref_per_class,
+                               rtol=1e-3, atol=1e-4,
+                               err_msg="per-class mean IoU diverges")
