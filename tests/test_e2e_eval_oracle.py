@@ -46,10 +46,8 @@ REFERENCE_ROOT = "/root/reference"
 
 NPTS = 128
 NUM_GW = 32
-CLASSES, BASE_NUM = 13, 7
 K_SHOT = 2
 BATCH = 8    # divisible by the CI conftest's 8-device virtual mesh
-ENERGY = 0.9
 EVAL_WEIGHT = 1.2
 EDGE_WIDTHS = ((64, 64), (64, 64), (64, 64))
 MLP_WIDTHS = (512, 256)
@@ -88,11 +86,12 @@ def _import_ref_train():
     return mod
 
 
-def _ref_args(train_dir, test_dir, save_path, basis_path, ckpt_path):
+def _ref_args(dataset, n_cls, energy, train_dir, test_dir, save_path,
+              basis_path, ckpt_path):
     """The argparse namespace train.py:733-831 would produce for the same
     --only_evaluate invocation we run on our CLI."""
     return types.SimpleNamespace(
-        phase="test", dataset="s3dis", cvfold=0,
+        phase="test", dataset=dataset, cvfold=0,
         data_path=train_dir, testing_data_path=test_dir,
         save_path=save_path, basis_path=basis_path,
         model_checkpoint_path=ckpt_path, pretrain_checkpoint_path="",
@@ -103,8 +102,8 @@ def _ref_args(train_dir, test_dir, save_path, basis_path, ckpt_path):
         pc_augm_jitter=1, dgcnn_k=20,
         edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
         dgcnn_mlp_widths=list(MLP_WIDTHS), base_widths=list(BASE_WIDTHS),
-        output_dim=OUTPUT_DIM, eval_weight=EVAL_WEIGHT, energy=ENERGY,
-        total_classes=CLASSES, base_lr=0.01, step_size=50, gamma=0.5,
+        output_dim=OUTPUT_DIM, eval_weight=EVAL_WEIGHT, energy=energy,
+        total_classes=n_cls, base_lr=0.01, step_size=50, gamma=0.5,
         epochs=150, start_epoch=0, print_freq=20, seed=321)
 
 
@@ -121,11 +120,21 @@ def _parse_metrics(log_path):
     return agg, per_class
 
 
-def test_only_evaluate_end_to_end_matches_reference(tmp_path):
+@pytest.mark.parametrize("dataset,n_cls,n_base,energy", [
+    ("s3dis", 13, 7, 0.9),        # fold-0: 6 novel (s3dis.py:27-28)
+    ("scannet", 21, 15, 0.95),    # fold-0: 6 novel, class 0 kept in base
+                                  # and skipped by the metric (scannet.py:
+                                  # 23-27, runs/eval.py:79-106)
+])
+def test_only_evaluate_end_to_end_matches_reference(tmp_path, dataset,
+                                                    n_cls, n_base, energy):
     root = str(tmp_path)
+    # n_test_blocks = n_cls: the generator force-includes class i in block
+    # i, so every class appears in the test gt — the reference's OWN metric
+    # divides by zero for a class absent from gt+pred (runs/eval.py:57,82)
     train_dir, test_dir = make_synthetic_blocks(
-        root, n_train_blocks=36, n_test_blocks=13,
-        points_per_block=NPTS + NPTS // 2, seed=19)
+        root, dataset=dataset, n_train_blocks=36, n_test_blocks=n_cls,
+        points_per_block=NPTS + NPTS // 2, n_classes=n_cls, seed=19)
 
     # ---- shared artifacts: basis, model checkpoint, coding
     gen = np.random.default_rng(41)
@@ -134,7 +143,7 @@ def test_only_evaluate_end_to_end_matches_reference(tmp_path):
     with open(basis_path, "wb") as f:
         pickle.dump(basis, f)
 
-    model = GWCAPL(classes=CLASSES, base_num=BASE_NUM, num_gw=NUM_GW,
+    model = GWCAPL(classes=n_cls, base_num=n_base, num_gw=NUM_GW,
                    main_dim=128, eval_weight=EVAL_WEIGHT,
                    edgeconv_widths=EDGE_WIDTHS, mlp_widths=MLP_WIDTHS,
                    base_widths=BASE_WIDTHS, output_dim=OUTPUT_DIM,
@@ -160,14 +169,14 @@ def test_only_evaluate_end_to_end_matches_reference(tmp_path):
     save_torch_gfs_checkpoint(variables["params"], stats, ckpt_path,
                               epoch=5, max_iou=0.5)
 
-    coding = (gen.random((BASE_NUM, NUM_GW)) < 0.4).astype(np.float32)
+    coding = (gen.random((n_base, NUM_GW)) < 0.4).astype(np.float32)
     ref_save = os.path.join(root, "ref_eval")
     our_save = os.path.join(root, "our_eval")
     for d in (ref_save, our_save):
         os.makedirs(d, exist_ok=True)
         torch.save(torch.from_numpy(coding),
                    os.path.join(d, f"base_class_gp_coding_energy="
-                                   f"{ENERGY}.pth"))
+                                   f"{energy}.pth"))
 
     # ---- reference run (materialises the fixtures both sides share)
     ref_train = _import_ref_train()
@@ -177,8 +186,8 @@ def test_only_evaluate_end_to_end_matches_reference(tmp_path):
     torch.nn.Module.cuda = lambda self, *a, **k: self
     sys.path.insert(0, REFERENCE_ROOT)
     try:
-        args = _ref_args(train_dir, test_dir, ref_save, basis_path,
-                         ckpt_path)
+        args = _ref_args(dataset, n_cls, energy, train_dir, test_dir,
+                         ref_save, basis_path, ckpt_path)
         # replicate the reference __main__ seeding (train.py:825-828):
         # the static_test materialisation consumes this global stream
         torch.manual_seed(args.seed)
@@ -192,7 +201,9 @@ def test_only_evaluate_end_to_end_matches_reference(tmp_path):
         torch.nn.Module.cuda = orig_m_cuda
     ref_agg, ref_per_class = _parse_metrics(
         os.path.join(ref_save, "log_test.txt"))
-    assert len(ref_per_class) == CLASSES
+    # scannet's iou_list skips class 0 / unannotated (runs/eval.py:79-106)
+    assert len(ref_per_class) == (n_cls - 1 if dataset == "scannet"
+                                  else n_cls)
     assert os.path.isdir(os.path.join(test_dir, f"static_test_{NPTS}"))
     assert os.path.isdir(os.path.join(
         train_dir, f"ValSupp_S0_K{K_SHOT}_Seed10"))
@@ -202,10 +213,11 @@ def test_only_evaluate_end_to_end_matches_reference(tmp_path):
                             dgcnn_mlp_widths=MLP_WIDTHS,
                             base_widths=BASE_WIDTHS, output_dim=OUTPUT_DIM,
                             use_pallas=False)
-    data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+    data_cfg = DataConfig(dataset=dataset, cvfold=0, data_path=train_dir,
                           testing_data_path=test_dir, pc_npts=NPTS,
-                          k_shot=K_SHOT, n_workers=0)
-    train_cfg = TrainConfig(batch_size=BATCH, energy=ENERGY,
+                          k_shot=K_SHOT, n_workers=0,
+                          total_classes=n_cls)
+    train_cfg = TrainConfig(batch_size=BATCH, energy=energy,
                             eval_weight=EVAL_WEIGHT, seed=321,
                             save_path=our_save, basis_path=basis_path,
                             model_checkpoint_path=ckpt_path,
