@@ -123,14 +123,30 @@ class FewShotLearner:
         self.batch_stats = variables["batch_stats"]
 
         if model_checkpoint_path:
-            flat, _ = load_checkpoint(model_checkpoint_path)
-            self.params = restore_into(
-                self.params, {k[len("params/"):]: v for k, v in flat.items()
-                              if k.startswith("params/")})
-            self.batch_stats = restore_into(
-                self.batch_stats,
-                {k[len("batch_stats/"):]: v for k, v in flat.items()
-                 if k.startswith("batch_stats/")})
+            if model_checkpoint_path.endswith(".tar") or os.path.exists(
+                    os.path.join(model_checkpoint_path, "checkpoint.tar")):
+                # the reference's episodic-baseline checkpoint format
+                # (pretrain/runs/proto_train.py:72-78), given as the dir
+                # (like pretrain/utils/checkpoint_util.py:26) or the file
+                from gfs3dseg_gws_tpu.utils.checkpoint import (
+                    _flatten, load_torch_fewshot_checkpoint)
+
+                t_params, t_stats, _ = load_torch_fewshot_checkpoint(
+                    model_checkpoint_path)
+                self.params = restore_into(self.params, _flatten(t_params),
+                                           strict=False)
+                self.batch_stats = restore_into(
+                    self.batch_stats, _flatten(t_stats), strict=False)
+            else:
+                flat, _ = load_checkpoint(model_checkpoint_path)
+                self.params = restore_into(
+                    self.params,
+                    {k[len("params/"):]: v for k, v in flat.items()
+                     if k.startswith("params/")})
+                self.batch_stats = restore_into(
+                    self.batch_stats,
+                    {k[len("batch_stats/"):]: v for k, v in flat.items()
+                     if k.startswith("batch_stats/")})
         elif pretrain_checkpoint_path:
             self._load_encoder(pretrain_checkpoint_path)
 

@@ -292,6 +292,77 @@ def save_torch_pretrain_checkpoint(encoder_params: Dict, encoder_stats: Dict,
     torch.save({"params": sd}, os.path.join(out_dir, "checkpoint.tar"))
 
 
+def _sd_put_conv(sd: Dict, key: str, kernel, conv2d: bool = False,
+                 bias=None):
+    import torch
+
+    w = np.asarray(kernel).T
+    w = w.reshape(w.shape + ((1, 1) if conv2d else (1,)))
+    sd[key + ".weight"] = torch.from_numpy(np.ascontiguousarray(
+        w.astype(np.float32)))
+    if bias is not None:
+        sd[key + ".bias"] = torch.from_numpy(np.asarray(bias, np.float32))
+
+
+def _sd_put_bn(sd: Dict, key: str, p, s):
+    import torch
+
+    sd[key + ".weight"] = torch.from_numpy(np.asarray(p["scale"],
+                                                      np.float32))
+    sd[key + ".bias"] = torch.from_numpy(np.asarray(p["bias"], np.float32))
+    sd[key + ".running_mean"] = torch.from_numpy(
+        np.asarray(s["mean"], np.float32))
+    sd[key + ".running_var"] = torch.from_numpy(
+        np.asarray(s["var"], np.float32))
+    sd[key + ".num_batches_tracked"] = torch.tensor(0)
+
+
+def _export_feat_state(sd: Dict, params: Dict, batch_stats: Dict):
+    """Write the shared feature-extractor submodules (DGCNN encoder +
+    BaseLearner + SelfAttention or linear mapper) into a reference-keyed
+    state dict. The same module trio appears in the reference's GW/CAPL
+    model (model/capl.py:40-52) and its ProtoNet/MPTI baselines
+    (pretrain/models/protonet.py:48-54, mpti.py:60-66) under identical
+    attribute names."""
+    enc_p, enc_s = params["encoder"], batch_stats["encoder"]
+    for i in range(3):
+        base = f"encoder.edge_convs.{i}.layer"
+        blk_p, blk_s = enc_p[f"edgeconv{i}"], enc_s[f"edgeconv{i}"]
+        _sd_put_conv(sd, f"{base}.0", blk_p["layer0_kernel"], conv2d=True)
+        _sd_put_bn(sd, f"{base}.1", blk_p["layer0_bn"], blk_s["layer0_bn"])
+        j = 1
+        while f"layer{j}" in blk_p:
+            _sd_put_conv(sd, f"{base}.{3*j}",
+                         blk_p[f"layer{j}"]["conv"]["kernel"], conv2d=True)
+            _sd_put_bn(sd, f"{base}.{3*j+1}", blk_p[f"layer{j}"]["bn"],
+                       blk_s[f"layer{j}"]["bn"])
+            j += 1
+    for j in range(2):
+        _sd_put_conv(sd, f"encoder.conv.layer.{3*j}",
+                     enc_p["mlp"][f"layer{j}"]["conv"]["kernel"])
+        _sd_put_bn(sd, f"encoder.conv.layer.{3*j+1}",
+                   enc_p["mlp"][f"layer{j}"]["bn"],
+                   enc_s["mlp"][f"layer{j}"]["bn"])
+
+    bl_p, bl_s = params["base_learner"], batch_stats["base_learner"]
+    i = 0
+    while f"conv{i}" in bl_p:
+        _sd_put_conv(sd, f"base_learner.convs.{i}.0",
+                     bl_p[f"conv{i}"]["kernel"],
+                     bias=bl_p[f"conv{i}"]["bias"])
+        _sd_put_bn(sd, f"base_learner.convs.{i}.1", bl_p[f"bn{i}"],
+                   bl_s[f"bn{i}"])
+        i += 1
+
+    if "att_learner" in params:
+        for name in ("q_map", "k_map", "v_map"):
+            _sd_put_conv(sd, f"att_learner.{name}",
+                         params["att_learner"][name]["kernel"])
+    if "linear_mapper" in params:
+        _sd_put_conv(sd, "linear_mapper",
+                     params["linear_mapper"]["kernel"])
+
+
 def save_torch_gfs_checkpoint(params: Dict, batch_stats: Dict, path: str,
                               epoch: int = 0, max_iou: float = 0.0):
     """Export a GWCAPL model to the reference's .pth format
@@ -300,60 +371,12 @@ def save_torch_gfs_checkpoint(params: Dict, batch_stats: Dict, path: str,
     import torch
 
     sd: Dict[str, Any] = {}
+    _export_feat_state(sd, params, batch_stats)
+    _sd_put_conv(sd, "fusion.0", params["fusion"]["kernel"],
+                 bias=params["fusion"]["bias"])
 
-    def put_conv(key, kernel, conv2d=False, bias=None):
-        w = np.asarray(kernel).T
-        w = w.reshape(w.shape + ((1, 1) if conv2d else (1,)))
-        sd[key + ".weight"] = torch.from_numpy(np.ascontiguousarray(
-            w.astype(np.float32)))
-        if bias is not None:
-            sd[key + ".bias"] = torch.from_numpy(
-                np.asarray(bias, np.float32))
-
-    def put_bn(key, p, s):
-        sd[key + ".weight"] = torch.from_numpy(np.asarray(p["scale"],
-                                                          np.float32))
-        sd[key + ".bias"] = torch.from_numpy(np.asarray(p["bias"],
-                                                        np.float32))
-        sd[key + ".running_mean"] = torch.from_numpy(
-            np.asarray(s["mean"], np.float32))
-        sd[key + ".running_var"] = torch.from_numpy(
-            np.asarray(s["var"], np.float32))
-        sd[key + ".num_batches_tracked"] = torch.tensor(0)
-
-    enc_p, enc_s = params["encoder"], batch_stats["encoder"]
-    for i in range(3):
-        base = f"encoder.edge_convs.{i}.layer"
-        blk_p, blk_s = enc_p[f"edgeconv{i}"], enc_s[f"edgeconv{i}"]
-        put_conv(f"{base}.0", blk_p["layer0_kernel"], conv2d=True)
-        put_bn(f"{base}.1", blk_p["layer0_bn"], blk_s["layer0_bn"])
-        j = 1
-        while f"layer{j}" in blk_p:
-            put_conv(f"{base}.{3*j}", blk_p[f"layer{j}"]["conv"]["kernel"],
-                     conv2d=True)
-            put_bn(f"{base}.{3*j+1}", blk_p[f"layer{j}"]["bn"],
-                   blk_s[f"layer{j}"]["bn"])
-            j += 1
-    for j in range(2):
-        put_conv(f"encoder.conv.layer.{3*j}",
-                 enc_p["mlp"][f"layer{j}"]["conv"]["kernel"])
-        put_bn(f"encoder.conv.layer.{3*j+1}", enc_p["mlp"][f"layer{j}"]["bn"],
-               enc_s["mlp"][f"layer{j}"]["bn"])
-
-    bl_p, bl_s = params["base_learner"], batch_stats["base_learner"]
-    i = 0
-    while f"conv{i}" in bl_p:
-        put_conv(f"base_learner.convs.{i}.0", bl_p[f"conv{i}"]["kernel"],
-                 bias=bl_p[f"conv{i}"]["bias"])
-        put_bn(f"base_learner.convs.{i}.1", bl_p[f"bn{i}"], bl_s[f"bn{i}"])
-        i += 1
-
-    for name in ("q_map", "k_map", "v_map"):
-        put_conv(f"att_learner.{name}", params["att_learner"][name]["kernel"])
-
-    put_conv("fusion.0", params["fusion"]["kernel"],
-             bias=params["fusion"]["bias"])
-    put_bn("fusion.1", params["fusion_bn"], batch_stats["fusion_bn"])
+    _sd_put_bn(sd, "fusion.1", params["fusion_bn"],
+               batch_stats["fusion_bn"])
     sd["main_proto"] = torch.from_numpy(np.asarray(params["main_proto"],
                                                    np.float32))
     sd["bg_proto"] = torch.from_numpy(np.asarray(params["bg_proto"],
@@ -362,6 +385,54 @@ def save_torch_gfs_checkpoint(params: Dict, batch_stats: Dict, path: str,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     torch.save({"epoch": epoch, "state_dict": sd, "optimizer": {},
                 "max_iou": max_iou}, path)
+
+
+def save_torch_fewshot_checkpoint(params: Dict, batch_stats: Dict,
+                                  out_dir: str, iteration: int = 0,
+                                  iou: float = 0.0, loss: float = 0.0):
+    """Export a ProtoNet/MPTI feature extractor to the reference's
+    episodic-baseline `checkpoint.tar` format ({'iteration',
+    'model_state_dict','loss','IoU'}, pretrain/runs/proto_train.py:72-78 /
+    mpti_train.py) so reference tooling can evaluate TPU-trained
+    baselines. `params`/`batch_stats` are our learner trees ({'feat':
+    {'encoder','base_learner','att_learner'|'linear_mapper'}})."""
+    import torch
+
+    sd: Dict[str, Any] = {}
+    _export_feat_state(sd, params["feat"], batch_stats["feat"])
+    os.makedirs(out_dir, exist_ok=True)
+    torch.save({"iteration": iteration, "model_state_dict": sd,
+                "loss": loss, "IoU": iou},
+               os.path.join(out_dir, "checkpoint.tar"))
+
+
+def load_torch_fewshot_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
+    """Reference episodic-baseline checkpoint -> (params, batch_stats,
+    meta) shaped for our ProtoNet/MPTI models.
+
+    `path` is the checkpoint DIRECTORY (the reference's
+    pretrain/utils/checkpoint_util.py:26 appends 'checkpoint.tar') or the
+    .tar file itself. Distinguished from the PRETRAIN checkpoint.tar
+    ({'params': encoder sd}) by the 'model_state_dict' key."""
+    import torch
+
+    p = path if path.endswith(".tar") else os.path.join(path,
+                                                        "checkpoint.tar")
+    ckpt = torch.load(p, map_location="cpu", weights_only=True)
+    sd = ckpt["model_state_dict"]
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    enc_p, enc_s = convert_torch_dgcnn_encoder(enc_sd)
+    bl_p, bl_s = convert_torch_base_learner(sd)
+    params: Dict[str, Any] = {"encoder": enc_p, "base_learner": bl_p}
+    stats: Dict[str, Any] = {"encoder": enc_s, "base_learner": bl_s}
+    if any(k.startswith("att_learner.") for k in sd):
+        params["att_learner"] = convert_torch_attention(sd)
+    if "linear_mapper.weight" in sd:
+        params["linear_mapper"] = {
+            "kernel": _conv_kernel(sd["linear_mapper.weight"])}
+    meta = {k: ckpt[k] for k in ("iteration", "IoU", "loss") if k in ckpt}
+    return {"feat": params}, {"feat": stats}, meta
 
 
 def load_basis(path: str) -> np.ndarray:
