@@ -17,6 +17,11 @@ Usage:
   # reference base_class_gp_coding_energy={e}.pth -> npz (and back)
   python scripts/convert_checkpoint.py coding-to-npz  coding.pth out.npz
   python scripts/convert_checkpoint.py npz-to-coding  coding.npz out.pth
+
+  # reference episodic-baseline (ProtoNet/MPTI) checkpoint.tar (or its
+  # dir) -> npz; and our few-shot npz -> reference checkpoint.tar dir
+  python scripts/convert_checkpoint.py fewshot-to-npz  log_proto_dir out.npz
+  python scripts/convert_checkpoint.py npz-to-fewshot  ckpt.npz out_dir
 """
 import argparse
 import os
@@ -29,7 +34,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("mode", choices=["gfs-to-npz", "npz-to-gfs",
                                     "pretrain-to-npz", "npz-to-pretrain",
-                                    "coding-to-npz", "npz-to-coding"])
+                                    "coding-to-npz", "npz-to-coding",
+                                    "fewshot-to-npz", "npz-to-fewshot"])
     p.add_argument("src")
     p.add_argument("dst")
     args = p.parse_args()
@@ -70,7 +76,7 @@ def main():
         enc_p, enc_s = load_torch_pretrain_checkpoint(args.src)
         save_checkpoint(args.dst, {"params": {"encoder": enc_p},
                                    "batch_stats": {"encoder": enc_s}})
-    else:  # npz-to-pretrain
+    elif args.mode == "npz-to-pretrain":
         flat, _ = load_checkpoint(args.src)
         enc_p = _unflat({k[len("params/encoder/"):]: v
                          for k, v in flat.items()
@@ -79,6 +85,24 @@ def main():
                          for k, v in flat.items()
                          if k.startswith("batch_stats/encoder/")})
         save_torch_pretrain_checkpoint(enc_p, enc_s, args.dst)
+    elif args.mode == "fewshot-to-npz":
+        from gfs3dseg_gws_tpu.utils.checkpoint import (
+            load_torch_fewshot_checkpoint)
+        params, stats, meta = load_torch_fewshot_checkpoint(args.src)
+        save_checkpoint(args.dst, {"params": params, "batch_stats": stats},
+                        {k: v for k, v in meta.items()})
+    else:  # npz-to-fewshot
+        from gfs3dseg_gws_tpu.utils.checkpoint import (
+            save_torch_fewshot_checkpoint)
+        flat, meta = load_checkpoint(args.src)
+        params = _unflat({k[len("params/"):]: v for k, v in flat.items()
+                          if k.startswith("params/")})
+        stats = _unflat({k[len("batch_stats/"):]: v for k, v in flat.items()
+                         if k.startswith("batch_stats/")})
+        save_torch_fewshot_checkpoint(
+            params, stats, args.dst,
+            iteration=int(meta.get("iteration", 0)),
+            iou=float(meta.get("IoU", meta.get("best_iou", 0.0))))
     print(f"{args.mode}: {args.src} -> {args.dst}")
 
 
