@@ -32,7 +32,7 @@ _INT_MAX = 2 ** 31 - 1
 
 def _fused_kernel(x_tile_ref, x_all_ref, a_ref, b_ref, w2_ref, bias2_ref,
                   out_ref, keys_ref, acc_ref, *, k: int, unroll: int,
-                  stack: int, idx_bits: int, neg_slope: float):
+                  idx_bits: int, neg_slope: float):
     q = x_tile_ref[0].astype(jnp.float32)                   # (TQ, C)
     kk = x_all_ref[0].astype(jnp.float32)                   # (N, C)
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
@@ -51,7 +51,6 @@ def _fused_kernel(x_tile_ref, x_all_ref, a_ref, b_ref, w2_ref, bias2_ref,
     w2 = w2_ref[:].astype(jnp.bfloat16)                     # (W0, W1)
     bias2 = bias2_ref[:].astype(jnp.float32)                # (1, W1)
     acc_ref[:] = jnp.full_like(acc_ref[:], -jnp.inf)
-    tq = m
 
     # chunk-unrolled extraction: `unroll` rounds per fori_loop iteration
     # balances Mosaic compile time (full unroll: minutes/shape) against
@@ -59,40 +58,27 @@ def _fused_kernel(x_tile_ref, x_all_ref, a_ref, b_ref, w2_ref, bias2_ref,
     def body(i, _):
         keys = keys_ref[:]
         acc = acc_ref[:]
-        # rounds can be grouped (`stack`) so the "gather" one-hot rows of
-        # several extraction rounds batch into ONE deep (G*TQ, N) @ (N, W0)
-        # MXU matmul, like the train-side GSF kernel. MEASURED NEGATIVE
-        # here: at (16, 2048, 64) stack 1/2/4/5/10/20 = 2.76/3.49/3.65/
-        # 2.96/3.18/4.04 ms (a rebuild-from-columns variant is the same:
-        # 2.80/3.60/3.09 at 1/5/10). Unlike the train GSF context, this
-        # kernel's per-round matmuls already hide well behind extraction —
-        # kNN-alone is 1.40 ms of the fused 2.76, so the matmul tail runs
-        # at ~66% effective peak, and the stacked one-hot concatenation
-        # costs more than the deeper matmul saves. Default stack=1 keeps
-        # the original schedule; max over rounds is exact, so regrouping
-        # is bitwise-identical when experimenting.
-        for gbase in range(0, unroll, stack):
-            g = min(stack, unroll - gbase)
-            hits = []
-            for _u in range(g):
-                best = jnp.min(keys, axis=-1)               # (TQ,)
-                hit = keys == best[:, None]                 # (TQ, N) onehot
-                keys = jnp.where(hit, _INT_MAX, keys)
-                hits.append(hit.astype(jnp.bfloat16))
-            oh = jnp.concatenate(hits, axis=0) if g > 1 else hits[0]
-            nbr = jnp.dot(oh, a_tab,
-                          preferred_element_type=jnp.float32)  # (G*TQ, W0)
-            b_g = (jnp.concatenate([b_cen] * g, axis=0) if g > 1
-                   else b_cen)
-            e = nbr + b_g
+        # NOTE measured negative (do not re-attempt without new evidence):
+        # grouping rounds so several one-hot gathers batch into one deep
+        # (G*TQ, N) @ (N, W0) matmul — the train-side GSF win — is SLOWER
+        # here: stack 1/2/4/5/10/20 = 2.76/3.49/3.65/2.96/3.18/4.04 ms at
+        # (16, 2048, 64); a rebuild-from-columns variant matches
+        # (2.80/3.60/3.09 at 1/5/10). kNN-alone is 1.40 ms of the fused
+        # 2.76, so these matmuls already run at ~66% effective bf16 peak
+        # and the stacked one-hot concatenation costs more than the
+        # deeper matmul saves (docs/ARCHITECTURE.md negative results).
+        for _u in range(unroll):
+            best = jnp.min(keys, axis=-1)                   # (TQ,)
+            hit = keys == best[:, None]                     # (TQ, N) onehot
+            keys = jnp.where(hit, _INT_MAX, keys)
+            nbr = jnp.dot(hit.astype(jnp.bfloat16), a_tab,
+                          preferred_element_type=jnp.float32)   # (TQ, W0)
+            e = nbr + b_cen
             e = jnp.where(e >= 0, e, neg_slope * e)         # leaky
             l2 = jnp.dot(e.astype(jnp.bfloat16), w2,
                          preferred_element_type=jnp.float32) + bias2
             l2 = jnp.where(l2 >= 0, l2, neg_slope * l2)
-            for u in range(g):
-                piece = jax.lax.slice_in_dim(l2, u * tq, (u + 1) * tq,
-                                             axis=0)
-                acc = jnp.maximum(acc, piece)
+            acc = jnp.maximum(acc, l2)
         keys_ref[:] = keys
         acc_ref[:] = acc
         return 0
@@ -104,7 +90,7 @@ def _fused_kernel(x_tile_ref, x_all_ref, a_ref, b_ref, w2_ref, bias2_ref,
 def fused_edgeconv_infer(x: jax.Array, a_table: jax.Array, b_table: jax.Array,
                          w2: jax.Array, bias2: jax.Array, k: int,
                          neg_slope: float = 0.2,
-                         tile_q: int = 512, stack: int = 1) -> jax.Array:
+                         tile_q: int = 512) -> jax.Array:
     # tile_q swept on v5e at (64, 2048, 64): 128 -> 12.6ms, 256 -> 10.9ms,
     # 512 -> 9.9ms (best), 1024 -> 11.9ms
     """Fused eval-mode EdgeConv block.
@@ -135,7 +121,6 @@ def fused_edgeconv_infer(x: jax.Array, a_table: jax.Array, b_table: jax.Array,
     unroll = k if n >= 2048 else _pick_unroll(k, 5)
     kern = functools.partial(_fused_kernel, k=k,
                              unroll=unroll,
-                             stack=min(stack, unroll),
                              idx_bits=(n - 1).bit_length(),
                              neg_slope=neg_slope)
     return pl.pallas_call(

@@ -191,22 +191,49 @@ def convert_torch_segmenter(sd: Dict, prefix: str = "segmenter"
     return params, stats
 
 
+def _torch_load_safe(path: str):
+    """torch.load(weights_only=True) tolerant of numpy scalar metadata.
+
+    Real reference-trained checkpoints carry np.float64 metrics — train.py
+    saves `max_iou` and proto_train.py/mpti_train.py save `IoU` straight
+    from numpy means — which torch>=2.6's weights_only unpickler rejects
+    ("GLOBAL numpy.../scalar was not an allowed global"). Retry with just
+    the numpy scalar-reconstruction globals allowlisted; still no
+    arbitrary-code unpickling."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import importlib
+
+        allow = [np.dtype]
+        # the pickled global's module path depends on the numpy that SAVED
+        # the checkpoint (numpy 1.x: numpy.core..., numpy 2.x: _core)
+        for mod in ("numpy._core.multiarray", "numpy.core.multiarray"):
+            try:
+                allow.append(importlib.import_module(mod).scalar)
+            except Exception:
+                continue
+        try:
+            allow.extend([np.dtypes.Float64DType, np.dtypes.Float32DType])
+        except AttributeError:
+            pass
+        with torch.serialization.safe_globals(allow):
+            return torch.load(path, map_location="cpu", weights_only=True)
+
+
 def load_torch_pretrain_checkpoint(path: str) -> Tuple[Dict, Dict]:
     """Reference `checkpoint.tar` -> (encoder params, encoder batch_stats)
     subtrees for DGCNN (to be merged under 'encoder')."""
-    import torch
-
-    ckpt = torch.load(os.path.join(path, "checkpoint.tar")
-                      if os.path.isdir(path) else path,
-                      map_location="cpu", weights_only=True)
+    ckpt = _torch_load_safe(os.path.join(path, "checkpoint.tar")
+                            if os.path.isdir(path) else path)
     return convert_torch_dgcnn_encoder(ckpt["params"])
 
 
 def load_torch_gfs_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
     """Reference GFS model .pth -> (params, batch_stats, meta) for GWCAPL."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    ckpt = _torch_load_safe(path)
     sd = ckpt["state_dict"]
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
@@ -234,9 +261,7 @@ def load_torch_coding(path: str) -> np.ndarray:
     """Reference base_class_gp_coding_energy={e}.pth — a torch.save of the
     (n_base, num_gw) multi-hot coding tensor (reference train.py:563,
     reloaded at train.py:466-467) -> float32 numpy array."""
-    import torch
-
-    t = torch.load(path, map_location="cpu", weights_only=True)
+    t = _torch_load_safe(path)
     return np.asarray(t.detach().cpu().numpy(), np.float32)
 
 
@@ -414,11 +439,18 @@ def load_torch_fewshot_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
     pretrain/utils/checkpoint_util.py:26 appends 'checkpoint.tar') or the
     .tar file itself. Distinguished from the PRETRAIN checkpoint.tar
     ({'params': encoder sd}) by the 'model_state_dict' key."""
-    import torch
-
     p = path if path.endswith(".tar") else os.path.join(path,
                                                         "checkpoint.tar")
-    ckpt = torch.load(p, map_location="cpu", weights_only=True)
+    ckpt = _torch_load_safe(p)
+    if "model_state_dict" not in ckpt:
+        if "params" in ckpt:
+            raise ValueError(
+                f"{p} is a PRETRAIN encoder checkpoint "
+                "({'params': ...}); pass it as the pretrain checkpoint "
+                "(pretrain_checkpoint_path / pretrain-to-npz), not as an "
+                "episodic-baseline model checkpoint")
+        raise ValueError(f"{p} has no 'model_state_dict' key; not an "
+                         "episodic-baseline checkpoint.tar")
     sd = ckpt["model_state_dict"]
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
               if k.startswith("encoder.")}
@@ -431,7 +463,8 @@ def load_torch_fewshot_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
     if "linear_mapper.weight" in sd:
         params["linear_mapper"] = {
             "kernel": _conv_kernel(sd["linear_mapper.weight"])}
-    meta = {k: ckpt[k] for k in ("iteration", "IoU", "loss") if k in ckpt}
+    meta = {k: float(ckpt[k]) if k != "iteration" else int(ckpt[k])
+            for k in ("iteration", "IoU", "loss") if k in ckpt}
     return {"feat": params}, {"feat": stats}, meta
 
 

@@ -90,7 +90,7 @@ def main():
             load_torch_fewshot_checkpoint)
         params, stats, meta = load_torch_fewshot_checkpoint(args.src)
         save_checkpoint(args.dst, {"params": params, "batch_stats": stats},
-                        {k: v for k, v in meta.items()})
+                        meta)
     else:  # npz-to-fewshot
         from gfs3dseg_gws_tpu.utils.checkpoint import (
             save_torch_fewshot_checkpoint)
@@ -102,7 +102,8 @@ def main():
         save_torch_fewshot_checkpoint(
             params, stats, args.dst,
             iteration=int(meta.get("iteration", 0)),
-            iou=float(meta.get("IoU", meta.get("best_iou", 0.0))))
+            iou=float(meta.get("IoU", meta.get("best_iou", 0.0))),
+            loss=float(meta.get("loss", 0.0)))
     print(f"{args.mode}: {args.src} -> {args.dst}")
 
 

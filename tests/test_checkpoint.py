@@ -81,6 +81,65 @@ class TestTorchFormats:
         _assert_trees_equal(variables["params"], params)
         _assert_trees_equal(variables["batch_stats"], stats)
 
+    def test_torch_load_tolerates_numpy_scalar_meta(self, capl_variables,
+                                                    tmp_path):
+        """REAL reference-trained checkpoints carry np.float64 metrics
+        (train.py saves max_iou, proto_train.py saves IoU straight from
+        numpy means); torch>=2.6's weights_only unpickler rejects those
+        globals unless allowlisted (_torch_load_safe)."""
+        torch = pytest.importorskip("torch")
+        from gfs3dseg_gws_tpu.utils.checkpoint import (
+            load_torch_fewshot_checkpoint,
+            save_torch_fewshot_checkpoint,
+        )
+
+        _, variables = capl_variables
+        path = str(tmp_path / "ref_model.pth")
+        save_torch_gfs_checkpoint(variables["params"],
+                                  variables["batch_stats"], path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        ckpt["max_iou"] = np.array([0.1, 0.74]).mean()     # np.float64
+        ckpt["epoch"] = 9
+        torch.save(ckpt, path)
+        _, _, meta = load_torch_gfs_checkpoint(path)
+        assert meta == {"epoch": 9, "max_iou": pytest.approx(0.42)}
+
+        # same for the episodic-baseline format, via the reference's own
+        # save layout (proto_train.py:72-78)
+        enc = {"feat": {"encoder": variables["params"]["encoder"],
+                        "base_learner": variables["params"]["base_learner"],
+                        "att_learner": variables["params"]["att_learner"]}}
+        enc_s = {"feat": {
+            "encoder": variables["batch_stats"]["encoder"],
+            "base_learner": variables["batch_stats"]["base_learner"]}}
+        fs_dir = str(tmp_path / "fs")
+        save_torch_fewshot_checkpoint(enc, enc_s, fs_dir, iteration=5)
+        tar = os.path.join(fs_dir, "checkpoint.tar")
+        ckpt = torch.load(tar, map_location="cpu", weights_only=True)
+        ckpt["IoU"] = np.array([0.2, 0.4]).mean()
+        ckpt["loss"] = np.float64(1.5)
+        torch.save(ckpt, tar)
+        _, _, meta = load_torch_fewshot_checkpoint(fs_dir)
+        assert meta == {"iteration": 5, "IoU": pytest.approx(0.3),
+                        "loss": pytest.approx(1.5)}
+
+    def test_fewshot_loader_rejects_pretrain_tar(self, tmp_path):
+        """A pretrain checkpoint.tar ({'params': ...}) passed as an
+        episodic model checkpoint must fail with an actionable error, not
+        a KeyError."""
+        pytest.importorskip("torch")
+        from gfs3dseg_gws_tpu.utils.checkpoint import (
+            load_torch_fewshot_checkpoint)
+
+        model = DGCNN(edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+                      mlp_widths=(16, 16), k=5, use_pallas=False)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 9)))
+        out_dir = str(tmp_path / "pre")
+        save_torch_pretrain_checkpoint(variables["params"],
+                                       variables["batch_stats"], out_dir)
+        with pytest.raises(ValueError, match="PRETRAIN encoder"):
+            load_torch_fewshot_checkpoint(out_dir)
+
     def test_pretrain_tar_roundtrip(self, tmp_path):
         pytest.importorskip("torch")
         model = DGCNN(edgeconv_widths=((8, 8), (8, 8), (8, 8)),
