@@ -55,20 +55,26 @@ def add_pc_args(p: argparse.ArgumentParser):
     p.add_argument("--pc_augm_jitter", type=int, default=1)
 
 
-def add_model_args(p: argparse.ArgumentParser):
+def add_model_args(p: argparse.ArgumentParser,
+                   attention_action: str = "store_false"):
     p.add_argument("--dgcnn_k", type=int, default=20,
                    help="Number of nearest neighbors in Edgeconv")
-    p.add_argument("--edgeconv_widths", default="[[64,64], [64, 64], "
-                   "[64, 64]]", help="DGCNN Edgeconv widths")
+    p.add_argument("--edgeconv_widths", default="[[64,64], [64,64], "
+                   "[64,64]]", help="DGCNN Edgeconv widths")
     p.add_argument("--dgcnn_mlp_widths", default="[512, 256]",
                    help="DGCNN MLP widths")
     p.add_argument("--base_widths", default="[128, 64]",
                    help="BaseLearner widths")
     p.add_argument("--output_dim", type=int, default=64,
                    help="attention learner output dim")
-    p.add_argument("--use_attention", action="store_false",
-                   help="use attention learner (True by default, matching "
-                        "the reference's store_false quirk)")
+    # the two reference trees DISAGREE on this flag's polarity: the GFS
+    # CLI uses store_false, so attention is ON unless flagged
+    # (train.py:807-808 quirk), while the pretrain/baseline CLI uses
+    # store_true, so attention is OFF unless flagged (pretrain/main.py:79)
+    p.add_argument("--use_attention", action=attention_action,
+                   help="use attention learner (default "
+                        f"{attention_action == 'store_false'}, matching "
+                        "the reference CLI's polarity)")
     p.add_argument("--no_pallas", action="store_true",
                    help="disable fused Pallas TPU kernels")
 

@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_queries", type=int, default=1)
     p.add_argument("--n_episode_test", type=int, default=100)
     add_pc_args(p)
-    add_model_args(p)
+    add_model_args(p, attention_action="store_true")
     p.add_argument("--dist_method", default="euclidean",
                    help="cosine|euclidean")
     p.add_argument("--n_subprototypes", type=int, default=100)
@@ -71,8 +71,6 @@ def main(argv=None):
 
     apply_platform_env()
     args = build_parser().parse_args(argv)
-    # the pretrain tree's --use_attention is store_true (pretrain/main.py:79),
-    # unlike the GFS CLI's store_false quirk
     model_cfg = model_config_from_args(args)
     data_cfg = data_config_from_args(args)
 
