@@ -136,3 +136,19 @@ def test_pretrain_cli_flags():
     from gfs3dseg_gws_tpu.cli.pretrain_cli import build_parser
     _assert_parity(os.path.join(REFERENCE_ROOT, "pretrain", "main.py"),
                    build_parser)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_ROOT),
+                    reason="reference tree not available")
+def test_room2blocks_cli_flags():
+    from gfs3dseg_gws_tpu.cli.preprocess_cli import build_parser
+
+    def room2blocks_parser():
+        p = build_parser()
+        subs = next(a for a in p._actions
+                    if isinstance(a, type(p._subparsers._group_actions[0])))
+        return subs.choices["room2blocks"]
+
+    _assert_parity(
+        os.path.join(REFERENCE_ROOT, "pretrain", "preprocess",
+                     "room2blocks.py"), room2blocks_parser)
