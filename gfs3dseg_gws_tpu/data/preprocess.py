@@ -198,7 +198,17 @@ def read_ply_xyzrgb(ply_path: str) -> np.ndarray:
 
 def collect_scannet_scene(scene_dir: str, scene_name: str,
                           label_map: Dict[str, int]) -> np.ndarray:
-    """ply + over-segmentation json + aggregation json -> N x 7 XYZRGBL."""
+    """ply + over-segmentation json + aggregation json -> N x 7 XYZRGBL.
+
+    Mirrors the reference's instance-major construction EXACTLY
+    (collect_scannet_data.py:48-111): the scene is the concatenation of
+    each segGroup's points (group order, then the group's segment-id
+    order, then vertex order within a segment). Vertices whose segment is
+    in NO segGroup are EXCLUDED — the reference's class-0 points are
+    annotated-but-unmappable instances only, never raw unannotated mesh
+    vertices — and a segment shared by two groups is emitted twice, as
+    the reference does.
+    """
     ply = os.path.join(scene_dir, f"{scene_name}_vh_clean_2.ply")
     segs_json = os.path.join(scene_dir,
                              f"{scene_name}_vh_clean_2.0.010000.segs.json")
@@ -206,16 +216,25 @@ def collect_scannet_scene(scene_dir: str, scene_name: str,
 
     points = read_ply_xyzrgb(ply)
     with open(segs_json) as f:
-        seg_of_vertex = np.asarray(json.load(f)["segIndices"])
+        seg_of_vertex = json.load(f)["segIndices"]
+    segid_to_pointid: Dict[int, List[int]] = {}
+    for i, s in enumerate(seg_of_vertex):
+        segid_to_pointid.setdefault(s, []).append(i)
     with open(agg_json) as f:
         agg = json.load(f)
 
-    labels = np.zeros((points.shape[0], 1))
+    rows = []
     for group in agg["segGroups"]:
+        pointids: List[int] = []
+        for segid in group["segments"]:
+            # a group naming an unknown segment id is data corruption the
+            # reference surfaces as a KeyError; match that loudly
+            pointids += segid_to_pointid[segid]
+        inst = points[np.asarray(pointids)]
         cls = label_map.get(group["label"], 0)
-        mask = np.isin(seg_of_vertex, group["segments"])
-        labels[mask, 0] = cls
-    return np.concatenate([points, labels], axis=1)
+        rows.append(np.concatenate(
+            [inst, np.full((inst.shape[0], 1), float(cls))], axis=1))
+    return np.concatenate(rows, axis=0)
 
 
 def collect_scannet(scans_dir: str, out_root: str, classnames: Sequence[str],

@@ -129,12 +129,15 @@ class TestScanNetCollect:
         assert label_map["office chair"] == SCANNET_CLASSNAMES.index("chair")
         data = collect_scannet_scene(os.path.join(root, scene), scene,
                                      label_map)
-        assert data.shape == (60, 7)
+        # reference semantics (collect_scannet_data.py:48-111): the scene
+        # is the instance-major concatenation of segGroup points — seg 2's
+        # 20 vertices are in NO group and therefore EXCLUDED (class-0
+        # points come only from annotated-but-unmappable instances)
+        assert data.shape == (40, 7)
         wall = SCANNET_CLASSNAMES.index("wall")
         chair = SCANNET_CLASSNAMES.index("chair")
         np.testing.assert_array_equal(data[:20, 6], wall)
         np.testing.assert_array_equal(data[20:40, 6], chair)
-        np.testing.assert_array_equal(data[40:, 6], 0)  # unannotated
 
 
 def test_preprocess_cli_end_to_end(tmp_path):

@@ -72,6 +72,96 @@ def test_s3dis_collection_matches_reference(tmp_path):
                 err_msg=f"{area}/{scene}: collected rows differ")
 
 
+def test_scannet_collection_matches_reference(tmp_path):
+    """The reference's own collect_point_label (collect_scannet_data.py:
+    48-111) vs collect_scannet_scene on one synthetic scan, byte-for-byte
+    (instance-major order, unannotated-segment vertices excluded, an
+    unmappable raw label -> class 0). plyfile is shimmed with our binary
+    reader (itself pinned by test_collect's round trip); the label tsv is
+    the vendored canonical 608-line scannetv2-labels.combined.tsv."""
+    import json
+    import types
+
+    from gfs3dseg_gws_tpu.data.preprocess import (load_scannet_label_map,
+                                                  scannet_meta_paths)
+    from gfs3dseg_gws_tpu.data.registry import SCANNET_CLASSNAMES
+
+    from test_collect import _write_ply
+
+    # one scan: 3 groups (wall, office chair -> chair, ceiling ->
+    # unmappable/unannotated) + one segment in no group (excluded)
+    scene = "scene0000_00"
+    sdir = os.path.join(str(tmp_path), scene)
+    os.makedirs(sdir)
+    rng = np.random.default_rng(5)
+    n = 80
+    xyz = rng.uniform(0, 2, (n, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, (n, 3))
+    _write_ply(os.path.join(sdir, f"{scene}_vh_clean_2.ply"), xyz, rgb)
+    segs = [i // 20 for i in range(n)]                    # 4 segments
+    with open(os.path.join(sdir, f"{scene}_vh_clean_2.0.010000.segs.json"),
+              "w") as f:
+        json.dump({"segIndices": segs}, f)
+    agg = {"segGroups": [{"label": "wall", "segments": [0]},
+                         {"label": "office chair", "segments": [1]},
+                         {"label": "ceiling", "segments": [2]}]}
+    with open(os.path.join(sdir, f"{scene}.aggregation.json"), "w") as f:
+        json.dump(agg, f)
+    tsv_path = scannet_meta_paths()[0]
+
+    # plyfile shim backed by our reader
+    from gfs3dseg_gws_tpu.data.preprocess import read_ply_xyzrgb
+
+    class _Vertex:
+        def __init__(self, arr):
+            self.count = len(arr)
+            self.data = {k: arr[:, i].astype(np.float32) for i, k in
+                         enumerate(("x", "y", "z", "red", "green", "blue"))}
+
+    class _PlyData:
+        def __init__(self, arr):
+            self._v = _Vertex(arr)
+
+        def __getitem__(self, key):
+            assert key == "vertex"
+            return self._v
+
+        @staticmethod
+        def read(f):
+            return _PlyData(read_ply_xyzrgb(f.name))
+
+    saved = sys.modules.get("plyfile")
+    sys.modules["plyfile"] = types.SimpleNamespace(PlyData=_PlyData)
+    try:
+        ref = _load_ref_module("collect_scannet_data.py",
+                               "ref_collect_scannet")
+    finally:
+        if saved is None:
+            sys.modules.pop("plyfile", None)
+        else:
+            sys.modules["plyfile"] = saved
+    ref.CLASS_NAMES = list(SCANNET_CLASSNAMES)
+    ref.RAW2SCANNET = ref.get_raw2scannet_label_map(tsv_path)
+    # the reference tallies per-class point counts into a module global
+    # defined under __main__ (collect_scannet_data.py:100-101)
+    ref.class_point_dict = {i: 0 for i in range(len(SCANNET_CLASSNAMES))}
+
+    out = str(tmp_path / "ref_scene.npy")
+    ref.collect_point_label(sdir, scene, out)
+    ref_arr = np.load(out)
+
+    label_map = load_scannet_label_map(tsv_path, SCANNET_CLASSNAMES)
+    from gfs3dseg_gws_tpu.data.preprocess import collect_scannet_scene
+    ours = collect_scannet_scene(sdir, scene, label_map)
+
+    assert ours.shape == ref_arr.shape == (60, 7)   # seg 3 excluded
+    np.testing.assert_array_equal(np.asarray(ours, np.float32),
+                                  ref_arr.astype(np.float32))
+    assert set(ours[:, 6]) == {0.0,
+                               float(SCANNET_CLASSNAMES.index("wall")),
+                               float(SCANNET_CLASSNAMES.index("chair"))}
+
+
 def test_room2blocks_matches_reference(tmp_path):
     ref = _load_ref_module("room2blocks.py", "ref_room2blocks")
 
