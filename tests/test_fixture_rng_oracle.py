@@ -35,6 +35,46 @@ REFERENCE_ROOT = "/root/reference"
 NPTS = 256
 
 
+def _zfdir2mat(factor, direction=None):
+    """Faithful transforms3d.zooms.zfdir2mat: uniform zoom when direction
+    is None, else I + (factor-1) * outer(n, n) along the unit direction."""
+    if direction is None:
+        return np.diag([float(factor)] * 3).astype(np.float64)
+    n = np.asarray(direction, np.float64)
+    n = n / np.sqrt((n ** 2).sum())
+    return np.eye(3) + (float(factor) - 1.0) * np.outer(n, n)
+
+
+def _axangle2mat(axis, angle, is_normalized=False):
+    """Faithful transforms3d.axangles.axangle2mat (Rodrigues)."""
+    x, y, z = np.asarray(axis, np.float64)
+    if not is_normalized:
+        n = np.sqrt(x * x + y * y + z * z)
+        x, y, z = x / n, y / n, z / n
+    c, s = np.cos(angle), np.sin(angle)
+    C = 1.0 - c
+    return np.array([
+        [x * x * C + c, x * y * C - z * s, z * x * C + y * s],
+        [x * y * C + z * s, y * y * C + c, y * z * C - x * s],
+        [z * x * C - y * s, y * z * C + x * s, z * z * C + c]])
+
+
+def _install_transforms3d_stub():
+    """Register (or upgrade) a faithful transforms3d stub so the
+    reference's augment_pointcloud computes the real matrices."""
+    if "transforms3d" in sys.modules:
+        t3d = sys.modules["transforms3d"]
+    else:
+        t3d = types.ModuleType("transforms3d")
+        t3d.zooms = types.ModuleType("transforms3d.zooms")
+        t3d.axangles = types.ModuleType("transforms3d.axangles")
+        sys.modules["transforms3d"] = t3d
+        sys.modules["transforms3d.zooms"] = t3d.zooms
+        sys.modules["transforms3d.axangles"] = t3d.axangles
+    t3d.zooms.zfdir2mat = _zfdir2mat
+    t3d.axangles.axangle2mat = _axangle2mat
+
+
 @pytest.fixture(scope="module")
 def ref_loader():
     """The reference's dataloaders.loader module, import-shimmed for a
@@ -42,16 +82,7 @@ def ref_loader():
     static fixture; np.int alias removed in numpy>=1.24)."""
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference tree not available")
-    if "transforms3d" not in sys.modules:
-        t3d = types.ModuleType("transforms3d")
-        zooms = types.ModuleType("transforms3d.zooms")
-        axangles = types.ModuleType("transforms3d.axangles")
-        zooms.zfdir2mat = lambda f, direction=None: np.diag([float(f)] * 3)
-        axangles.axangle2mat = None  # unused with pc_augm=False
-        t3d.zooms, t3d.axangles = zooms, axangles
-        sys.modules["transforms3d"] = t3d
-        sys.modules["transforms3d.zooms"] = zooms
-        sys.modules["transforms3d.axangles"] = axangles
+    _install_transforms3d_stub()
     added_np_int = not hasattr(np, "int")
     if added_np_int:
         np.int = int  # reference loader.py:124 uses the removed alias
@@ -176,6 +207,79 @@ def test_small_block_replacement_path(ref_loader, synth_root, tmp_path):
                           mode="test", num_point=NPTS, seed=30,
                           learning_order=learning_order)
     _assert_tree_equal(ref_out, ours.save_path)
+
+
+def test_augmented_sampling_byte_identical(ref_loader, synth_root):
+    """sample_pointcloud WITH augmentation (reference loader.py:39-129 +
+    augment_pointcloud loader.py:132-151): scale, z-rotation, both
+    mirrors and jitter draw from the global legacy python/numpy streams;
+    LegacyRNG replays the exact sequence, and the faithful transforms3d
+    stubs reproduce the exact zoom/axis-angle matrices — so the augmented
+    clouds must be byte-identical, not just statistically alike."""
+    from gfs3dseg_gws_tpu.data.sampler import LegacyRNG, sample_pointcloud
+
+    train_dir = os.path.join(synth_root, "blocks_bs1.0_s1.0")
+    reg = DatasetRegistry("s3dis", 0, train_dir)
+    classes = sorted(reg.train_classes)
+    block = sorted(os.listdir(os.path.join(train_dir, "data")))[0][:-4]
+    config = {"scale": 1.5, "rot": 1, "mirror_prob": 0.9, "jitter": 1}
+
+    for seed, support in [(99, False), (7, True)]:
+        np.random.seed(seed)
+        random.seed(seed)
+        sys.path.insert(0, REFERENCE_ROOT)
+        try:
+            ref_out = ref_loader.sample_pointcloud(
+                train_dir, NPTS, "xyzrgbXYZ", True, config, block,
+                classes, sampled_class=classes[0], support=support,
+                random_sample=not support)
+        finally:
+            sys.path.remove(REFERENCE_ROOT)
+
+        ours = sample_pointcloud(
+            train_dir, NPTS, "xyzrgbXYZ", True, config, block, classes,
+            sampled_class=classes[0], support=support,
+            random_sample=not support, rng=LegacyRNG(seed))
+        for i, (a, b) in enumerate(zip(ours, ref_out)):
+            # the reference returns float64 and downstream fixture writers
+            # cast (loader.py materialisation); ours returns the float32
+            # the fixtures store — compare at the stored precision
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=f"output {i} differs (seed={seed}, "
+                        f"support={support})")
+
+
+def test_class2scans_builder_matches_reference(ref_loader, synth_root,
+                                               tmp_path):
+    """The registry's class2scans construction (reference s3dis.py:58-73,
+    block qualifies for a class when it has > max(5%*N, 100) points of it)
+    vs ours, built independently on the same blocks (cache deleted in
+    between so BOTH actually build)."""
+    import shutil
+
+    # work on a copy so the cached pkl other tests share is untouched
+    src = os.path.join(synth_root, "blocks_bs1.0_s1.0", "data")
+    work = str(tmp_path / "blocks_bs1.0_s1.0")
+    os.makedirs(work)
+    shutil.copytree(src, os.path.join(work, "data"))
+    meta_src = os.path.join(synth_root, "meta")
+    shutil.copytree(meta_src, str(tmp_path / "meta"))
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from dataloaders.s3dis import S3DISDataset
+        ref_ds = S3DISDataset(0, work)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    ref_c2s = {int(k): sorted(v) for k, v in ref_ds.class2scans.items()}
+    os.remove(os.path.join(work, "class2scans.pkl"))
+
+    ours = DatasetRegistry("s3dis", 0, work)
+    our_c2s = {int(k): sorted(v) for k, v in ours.class2scans.items()}
+    assert our_c2s == ref_c2s
+    assert sorted(ours.train_classes) == sorted(ref_ds.train_classes)
+    assert sorted(ours.test_classes) == sorted(ref_ds.test_classes)
 
 
 def test_h5_episode_bank_byte_identical(ref_loader, synth_root):
