@@ -19,6 +19,11 @@ Asserts the logged 4 aggregate metrics and the per-class mean-IoU table
 agree. This is the composition proof behind BASELINE.md's +-0.5-mIoU
 claim: with fixtures, weights, codings and every stage shared/pinned, the
 only remaining gap to the reference on real data is the data itself.
+
+Note our side runs DATA-PARALLEL over the CI conftest's virtual 8-device
+mesh (evaluate_gfs auto-builds it when device_count > 1), so this also
+certifies that the sharded eval path reproduces the single-GPU reference
+bit-for-bit, not just the single-device path.
 """
 import importlib.util
 import os
