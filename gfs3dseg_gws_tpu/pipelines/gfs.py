@@ -233,6 +233,11 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
     bg_blocks = bg_blocks[0]
     means = sums / np.maximum(counts[:, None], 1.0)
     coding = np.asarray(energy_multihot(jnp.asarray(means), energy))
+    # deliberate deviation: the reference means a random 2000-subset of the
+    # per-block bg features when >2000 exist (train.py:214-215,
+    # random.sample); bg coding is DEAD in the reference model — its only
+    # consumer is commented out (capl.py:206) — so we keep the
+    # deterministic full mean instead of replaying that RNG
     bg_coding = bg_sum / max(bg_blocks, 1.0)
     return coding.astype(np.float32), bg_coding.astype(np.float32)
 
