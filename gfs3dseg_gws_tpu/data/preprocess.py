@@ -264,5 +264,8 @@ def collect_scannet(scans_dir: str, out_root: str, classnames: Sequence[str],
                                                label_map))
             written.append(out)
         except Exception as e:
-            print(f"{scene_dir} ERROR: {e}")
+            # the reference HALTS the whole collection on a corrupt scan
+            # (collect_scannet_data.py:159-175 re-raises as ValueError);
+            # silently skipping would emit an incomplete dataset
+            raise ValueError(f"ERROR {scene_dir}!!") from e
     return written

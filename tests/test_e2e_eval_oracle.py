@@ -68,16 +68,9 @@ def _import_ref_train():
     shims as test_fixture_rng_oracle / test_reference_oracle)."""
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference tree not available")
-    if "transforms3d" not in sys.modules:
-        t3d = types.ModuleType("transforms3d")
-        zooms = types.ModuleType("transforms3d.zooms")
-        axangles = types.ModuleType("transforms3d.axangles")
-        zooms.zfdir2mat = lambda f, direction=None: np.diag([float(f)] * 3)
-        axangles.axangle2mat = None   # unused with pc_augm=False
-        t3d.zooms, t3d.axangles = zooms, axangles
-        sys.modules["transforms3d"] = t3d
-        sys.modules["transforms3d.zooms"] = zooms
-        sys.modules["transforms3d.axangles"] = axangles
+    from ref_shims import install_transforms3d_stub
+
+    install_transforms3d_stub()
     if not hasattr(np, "int"):
         np.int = int   # reference loader.py:124 uses the removed alias
     sys.path.insert(0, REFERENCE_ROOT)

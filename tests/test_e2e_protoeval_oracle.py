@@ -67,15 +67,9 @@ def _pretrain_import_scope(faiss_index=object, fps=None):
                       ("torch_cluster", types.SimpleNamespace(fps=fps))):
         if name not in sys.modules:
             shims[name] = mod
-    if "transforms3d" not in sys.modules:
-        t3d = types.ModuleType("transforms3d")
-        zooms = types.ModuleType("transforms3d.zooms")
-        axangles = types.ModuleType("transforms3d.axangles")
-        zooms.zfdir2mat = lambda f, direction=None: np.diag([float(f)] * 3)
-        axangles.axangle2mat = None
-        t3d.zooms, t3d.axangles = zooms, axangles
-        shims.update({"transforms3d": t3d, "transforms3d.zooms": zooms,
-                      "transforms3d.axangles": axangles})
+    from ref_shims import install_transforms3d_stub
+
+    install_transforms3d_stub()
     sys.modules.update(shims)
     added_np_int = not hasattr(np, "int")
     if added_np_int:

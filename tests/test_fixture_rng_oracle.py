@@ -20,7 +20,6 @@ import pickle
 import random
 import shutil
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -31,48 +30,10 @@ from gfs3dseg_gws_tpu.data import make_synthetic_blocks
 from gfs3dseg_gws_tpu.data.datasets import TestingDataset, ValSuppDataset
 from gfs3dseg_gws_tpu.data.registry import DatasetRegistry
 
+from ref_shims import install_transforms3d_stub
+
 REFERENCE_ROOT = "/root/reference"
 NPTS = 256
-
-
-def _zfdir2mat(factor, direction=None):
-    """Faithful transforms3d.zooms.zfdir2mat: uniform zoom when direction
-    is None, else I + (factor-1) * outer(n, n) along the unit direction."""
-    if direction is None:
-        return np.diag([float(factor)] * 3).astype(np.float64)
-    n = np.asarray(direction, np.float64)
-    n = n / np.sqrt((n ** 2).sum())
-    return np.eye(3) + (float(factor) - 1.0) * np.outer(n, n)
-
-
-def _axangle2mat(axis, angle, is_normalized=False):
-    """Faithful transforms3d.axangles.axangle2mat (Rodrigues)."""
-    x, y, z = np.asarray(axis, np.float64)
-    if not is_normalized:
-        n = np.sqrt(x * x + y * y + z * z)
-        x, y, z = x / n, y / n, z / n
-    c, s = np.cos(angle), np.sin(angle)
-    C = 1.0 - c
-    return np.array([
-        [x * x * C + c, x * y * C - z * s, z * x * C + y * s],
-        [x * y * C + z * s, y * y * C + c, y * z * C - x * s],
-        [z * x * C - y * s, y * z * C + x * s, z * z * C + c]])
-
-
-def _install_transforms3d_stub():
-    """Register (or upgrade) a faithful transforms3d stub so the
-    reference's augment_pointcloud computes the real matrices."""
-    if "transforms3d" in sys.modules:
-        t3d = sys.modules["transforms3d"]
-    else:
-        t3d = types.ModuleType("transforms3d")
-        t3d.zooms = types.ModuleType("transforms3d.zooms")
-        t3d.axangles = types.ModuleType("transforms3d.axangles")
-        sys.modules["transforms3d"] = t3d
-        sys.modules["transforms3d.zooms"] = t3d.zooms
-        sys.modules["transforms3d.axangles"] = t3d.axangles
-    t3d.zooms.zfdir2mat = _zfdir2mat
-    t3d.axangles.axangle2mat = _axangle2mat
 
 
 @pytest.fixture(scope="module")
@@ -82,7 +43,7 @@ def ref_loader():
     static fixture; np.int alias removed in numpy>=1.24)."""
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference tree not available")
-    _install_transforms3d_stub()
+    install_transforms3d_stub()
     added_np_int = not hasattr(np, "int")
     if added_np_int:
         np.int = int  # reference loader.py:124 uses the removed alias
@@ -213,9 +174,12 @@ def test_augmented_sampling_byte_identical(ref_loader, synth_root):
     """sample_pointcloud WITH augmentation (reference loader.py:39-129 +
     augment_pointcloud loader.py:132-151): scale, z-rotation, both
     mirrors and jitter draw from the global legacy python/numpy streams;
-    LegacyRNG replays the exact sequence, and the faithful transforms3d
-    stubs reproduce the exact zoom/axis-angle matrices — so the augmented
-    clouds must be byte-identical, not just statistically alike."""
+    LegacyRNG replays the exact sequence, and ref_shims' faithful
+    transforms3d stub reproduces the zoom/axis-angle matrices — so the
+    augmented clouds are byte-identical at the stored f32 precision.
+    (The certification is stub-vs-port: the real transforms3d library
+    groups some f64 products differently and could differ in the last
+    f64 ulp, which the f32 cast absorbs.)"""
     from gfs3dseg_gws_tpu.data.sampler import LegacyRNG, sample_pointcloud
 
     train_dir = os.path.join(synth_root, "blocks_bs1.0_s1.0")

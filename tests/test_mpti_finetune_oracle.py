@@ -296,8 +296,9 @@ def ref_pretrain_seg():
 
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference tree not available")
-    if "transforms3d" not in sys.modules:
-        sys.modules["transforms3d"] = types.ModuleType("transforms3d")
+    from ref_shims import install_transforms3d_stub
+
+    install_transforms3d_stub()
     sys.path.insert(0, REFERENCE_ROOT + "/pretrain")
     try:
         s = ilu.spec_from_file_location(
