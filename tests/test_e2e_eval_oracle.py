@@ -24,6 +24,10 @@ Note our side runs DATA-PARALLEL over the CI conftest's virtual 8-device
 mesh (evaluate_gfs auto-builds it when device_count > 1), so this also
 certifies that the sharded eval path reproduces the single-GPU reference
 bit-for-bit, not just the single-device path.
+
+Mutation-checked: evaluating our side with eval_weight=1.0 against the
+reference's 1.2 makes the aggregate-metric assertion fail — the oracle
+detects sub-configuration divergence, it does not pass vacuously.
 """
 import importlib.util
 import os

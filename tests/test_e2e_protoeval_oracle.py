@@ -8,6 +8,10 @@ pipelines.baselines.episodic_eval on the SAME data dir (shared h5 episode
 bank) and the SAME exported checkpoint.tar, and asserts the logged TEST
 loss and mean IoU agree.
 
+Mutation-checked: running our side with dist_method='euclidean' against
+the reference's cosine makes the loss/IoU assertions fail — the oracle
+detects configuration divergence, it does not pass vacuously.
+
 Also the round-trip proof for the episodic-baseline checkpoint format
 (pretrain/runs/proto_train.py:72-78 {'iteration','model_state_dict','loss',
 'IoU'}): our save_torch_fewshot_checkpoint artifact is consumed by the
