@@ -249,6 +249,29 @@ class TestPretrainStep:
                                    rtol=2e-3)
 
 
+def test_train_step_hlo_contains_gradient_allreduce(setup):
+    """The numerical sharded-vs-single equivalence tests would still pass
+    if GSPMD silently replicated everything (correct but non-parallel);
+    assert the compiled 8-device train step actually partitions the batch
+    and inserts cross-device reduction collectives for the gradients/
+    batch stats."""
+    model, variables, x, y, gp = setup
+    rng = jax.random.PRNGKey(0)
+    mesh = make_mesh()
+    step = make_gfs_train_step(model, mesh, donate=False)
+    tx = make_gfs_optimizer(0.01, steps_per_epoch=10)
+    state = replicate(TrainState.create(variables["params"],
+                                        variables["batch_stats"], tx), mesh)
+    lowered = step.lower(state, shard_batch(x, mesh), shard_batch(y, mesh),
+                         gp, rng)
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "no cross-device reduction in the step"
+    # the batch input must be partitioned 8-ways, not replicated
+    per_dev = B // jax.device_count()
+    assert f"{per_dev},{N},{CIN}" in hlo.replace(" ", ""), \
+        "batch input does not appear partitioned across the mesh"
+
+
 def test_jit_init_static_bool_flags():
     """jit_init must keep python-bool positionals (train flags) static —
     a traced bool breaks `if train:` branches in modules (regression: the
