@@ -55,6 +55,20 @@ def add_pc_args(p: argparse.ArgumentParser):
     p.add_argument("--pc_augm_jitter", type=int, default=1)
 
 
+def add_dispatch_args(p: argparse.ArgumentParser):
+    """TPU dispatch/transfer flags shared by the train and pretrain CLIs
+    (no reference counterpart — pure TPU-side throughput knobs)."""
+    p.add_argument("--h2d", choices=("auto", "exact", "packed"),
+                   default="auto",
+                   help="train/eval batch transfer: packed = one u8 "
+                        "buffer per batch (f16 coords, 4x fewer bytes); "
+                        "auto = packed on TPU, exact elsewhere")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help=">1 chains S train steps into one compiled "
+                        "lax.scan dispatch (bit-identical update sequence; "
+                        "amortises per-dispatch launch latency)")
+
+
 def add_model_args(p: argparse.ArgumentParser,
                    attention_action: str = "store_false"):
     p.add_argument("--dgcnn_k", type=int, default=20,

@@ -10,6 +10,7 @@ import argparse
 import os
 
 from gfs3dseg_gws_tpu.cli.common import (
+    add_dispatch_args,
     add_model_args,
     add_pc_args,
     data_config_from_args,
@@ -56,13 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--testing_data_path", type=str, default="")
     p.add_argument("--log_dir", type=str, default="")
     p.add_argument("--seed", type=int, default=321)
-    p.add_argument("--steps_per_dispatch", type=int, default=1,
-                   help=">1 chains S train steps into one compiled "
-                        "lax.scan dispatch (bit-identical updates)")
-    p.add_argument("--h2d", choices=("auto", "exact", "packed"),
-                   default="auto",
-                   help="batch transfer: packed = one u8 buffer per "
-                        "batch (f16 coords); auto = packed on TPU")
+    add_dispatch_args(p)
     return p
 
 

@@ -5,6 +5,7 @@ import argparse
 
 from gfs3dseg_gws_tpu.cli.common import (
     add_data_args,
+    add_dispatch_args,
     add_model_args,
     add_pc_args,
     data_config_from_args,
@@ -43,15 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validation sweep batch (0 = auto: 256 on TPU; "
                         "results are batch-invariant, larger batches "
                         "amortise dispatch latency)")
-    p.add_argument("--h2d", choices=("auto", "exact", "packed"),
-                   default="auto",
-                   help="train/eval batch transfer: packed = one u8 "
-                        "buffer per batch (f16 coords, 4x fewer bytes); "
-                        "auto = packed on TPU, exact elsewhere")
-    p.add_argument("--steps_per_dispatch", type=int, default=1,
-                   help=">1 chains S train steps into one compiled "
-                        "lax.scan dispatch (bit-identical update sequence; "
-                        "amortises per-dispatch launch latency)")
+    add_dispatch_args(p)
     p.add_argument("--step_size", type=int, default=50)
     p.add_argument("--gamma", type=float, default=0.5)
     add_pc_args(p)

@@ -336,15 +336,36 @@ class TestingDataset:
             lbl_path + tmp, mode="w+", dtype=np.int32, shape=lbl_shape)
         xyz_cols = self.pc_attribs.index("x")
         rgb_cols = self.pc_attribs.index("r")
-        for i, name in enumerate(self.data_list):
-            with open(os.path.join(self.save_path, "pcd", name), "rb") as f:
-                block = pickle.load(f).astype(np.float32)
-            xyz[i] = block[:, xyz_cols:xyz_cols + 3].astype(np.float16)
-            rgb[i] = np.rint(block[:, rgb_cols:rgb_cols + 3]
-                             * 255.0).astype(np.uint8)
-            with open(os.path.join(self.save_path, "label", name),
-                      "rb") as f:
-                lbl[i] = pickle.load(f).astype(np.int32)
+        try:
+            for i, name in enumerate(self.data_list):
+                with open(os.path.join(self.save_path, "pcd", name),
+                          "rb") as f:
+                    block = pickle.load(f).astype(np.float32)
+                coords = block[:, xyz_cols:xyz_cols + 3]
+                x16 = coords.astype(np.float16)
+                if np.isinf(x16).any() and np.isfinite(coords).all():
+                    # same guard as parallel.steps.pack_batch: huge absolute
+                    # coordinates (UTM offsets, mm units) overflow f16 and
+                    # would make every packed-sweep metric silently garbage
+                    raise ValueError(
+                        f"block {name}: coordinates overflow float16 — the "
+                        "quantised eval cache cannot represent this dataset; "
+                        "use h2d='exact' (or GFS3D_EXACT_H2D=1)")
+                xyz[i] = x16
+                # clip (not modulo-wrap) rgb outside [0,1], as pack_batch does
+                rgb[i] = np.clip(np.rint(block[:, rgb_cols:rgb_cols + 3]
+                                         * 255.0), 0, 255).astype(np.uint8)
+                with open(os.path.join(self.save_path, "label", name),
+                          "rb") as f:
+                    lbl[i] = pickle.load(f).astype(np.int32)
+        except Exception:
+            del xyz, rgb, lbl
+            for path, _, _ in specs:
+                try:
+                    os.remove(path + tmp)
+                except OSError:
+                    pass
+            raise
         for arr in (xyz, rgb, lbl):
             arr.flush()
         del xyz, rgb, lbl

@@ -194,6 +194,11 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
     """
     step = cached_step(make_coding_step, model, n_base, mesh)
     put_pair = make_batch_putter(mesh, _h2d_mode(h2d) == "packed")
+    # one persistent single-device putter for un-shardable remainder batches
+    # — a fresh putter per batch would reset its warn-once / permanent
+    # drop-to-exact state on every remainder
+    put_pair_1dev = (make_batch_putter(None, _h2d_mode(h2d) == "packed")
+                     if mesh is not None else put_pair)
     k = gp.shape[0]
     # bounded async dispatch — a per-batch np.asarray would put a tunnel
     # round-trip on every step (see validate())
@@ -219,8 +224,7 @@ def collect_base_codings(model, variables, gp, dataset, n_base: int,
         if mesh is not None and points.shape[0] % mesh.devices.size != 0:
             # un-shardable remainder batch: single-device step, but still
             # one packed transfer when the mode allows
-            p_dev, l_dev = make_batch_putter(
-                None, _h2d_mode(h2d) == "packed")(points, labels)
+            p_dev, l_dev = put_pair_1dev(points, labels)
             results.append(cached_step(make_coding_step, model, n_base,
                                        None)(variables, p_dev, l_dev, gp))
         else:
@@ -342,20 +346,29 @@ def eval_batches(val_dataset, batch_size: int, h2d: str = "auto"):
 
     mode = _h2d_mode(h2d)
     quant = mode == "packed"
-    packed = getattr(
-        val_dataset, "packed_q_arrays" if quant else "packed_arrays", None)
-    if packed is not None and not env_flag("GFS3D_NO_PACKED"):
-        try:
-            arrays = packed()
-        except (OSError, ValueError) as e:
-            # e.g. a read-only dataset mount where the cache cannot be
-            # built — stream the per-block pickles instead
-            import logging
-            logging.getLogger(__name__).warning(
-                "packed static_test cache unavailable (%s); falling back "
-                "to the per-block pickle iterator", e)
-            packed = None
-    if packed is not None and not env_flag("GFS3D_NO_PACKED"):
+    arrays = None
+    if not env_flag("GFS3D_NO_PACKED"):
+        # fallback chain: quantised cache -> exact memmap cache -> per-block
+        # pickle iterator. A failing quantised build (reduced --pc_attribs,
+        # f16-overflowing coords, read-only mount) must still try the dense
+        # memmap cache — dropping straight to pickles re-creates the r1
+        # sweep bottleneck for datasets the exact cache serves fine.
+        for q in ((True, False) if quant else (False,)):
+            name = "packed_q_arrays" if q else "packed_arrays"
+            builder = getattr(val_dataset, name, None)
+            if builder is None:
+                continue
+            try:
+                arrays = builder()
+                quant = q
+                break
+            except (OSError, ValueError) as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s cache unavailable (%s); falling back to %s", name, e,
+                    "the exact memmap cache" if q
+                    else "the per-block pickle iterator")
+    if arrays is not None:
         feats, lbl_mm, lut = arrays[:-2], arrays[-2], arrays[-1]
         if quant:
             # labels ride as uint8 too (class counts are <= 21); the eval

@@ -99,8 +99,12 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
         pending = []
 
         def drain(upto: int):
-            while len(pending) > upto:
-                for lv in np.atleast_1d(np.asarray(pending.pop(0))):
+            # bound pending STEPS, not dispatch entries: a multi-step
+            # dispatch parks S losses in one (S,) array (same bookkeeping
+            # as pipelines.gfs.train — with entry-counting, spd=8 would
+            # let 16*8 steps + their stacked input buffers queue in HBM)
+            while sum(p[1] for p in pending) > upto:
+                for lv in np.atleast_1d(np.asarray(pending.pop(0)[0])):
                     loss_m.update(float(lv))
 
         chunk = []
@@ -109,10 +113,11 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
             nonlocal state
             pts = np.stack([c[0] for c in chunk])
             lbs = np.stack([c[1] for c in chunk])
+            n_steps = len(chunk)
             chunk.clear()
             p_dev, l_dev = put_pair(pts, lbs, stacked=True)
             state, losses = multi_step(state, p_dev, l_dev, rng)
-            pending.append(losses)
+            pending.append((losses, n_steps))
 
         for i, batch in enumerate(train_batches(
                 train_ds, pretrain_cfg.batch_size, seed=pretrain_cfg.seed,
@@ -127,13 +132,13 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
             else:
                 p_dev, l_dev = put_pair(points, labels)
                 state, loss = train_step(state, p_dev, l_dev, rng)
-                pending.append(loss)
+                pending.append((loss, 1))
             drain(16)
         # leftover sub-S chunk through the single-step jit (one scan length)
         for points, labels in list(chunk):
             p_dev, l_dev = put_pair(points, labels)
             state, loss = train_step(state, p_dev, l_dev, rng)
-            pending.append(loss)
+            pending.append((loss, 1))
         chunk.clear()
         drain(0)
         logger.cprint(f"=====[Train] Epoch: {epoch} | Loss: {loss_m.avg:.4f} "

@@ -6,6 +6,8 @@ quantisation and the on-device XYZ/rgb recompute. The metric it produces
 must agree with the exact path to quantisation tolerance, and the
 reconstruction itself must match the sampler's host-side attribute math.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -229,3 +231,73 @@ def test_validate_packed_matches_exact(setup):
     # mIoU splits agree to quantisation tolerance
     for a, b in zip(exact[:4], packed[:4]):
         np.testing.assert_allclose(b, a, rtol=0.05, atol=0.02)
+
+
+def _copy_dataset(ds, dst_root):
+    """A TestingDataset clone over a copied static_test dir (mutating the
+    module fixture's pickles would corrupt the other tests)."""
+    import copy
+    import shutil
+
+    dst = os.path.join(dst_root, os.path.basename(ds.save_path))
+    shutil.copytree(ds.save_path, dst)
+    ds2 = copy.copy(ds)
+    ds2.save_path = dst
+    for f in os.listdir(dst):
+        if f.startswith("packed_"):
+            os.remove(os.path.join(dst, f))
+    return ds2
+
+
+def test_packed_q_overflow_falls_back_to_exact_cache(setup, tmp_path):
+    """f16-overflowing coordinates must NOT be served from the quantised
+    cache as inf (advisor r3): the build raises, leaves no tmp/partial
+    files, and eval_batches lands on the exact memmap cache — not the
+    per-block pickle iterator."""
+    import pickle as pkl
+
+    ds, *_ = setup
+    ds2 = _copy_dataset(ds, str(tmp_path))
+    name = ds2.data_list[0]
+    p = os.path.join(ds2.save_path, "pcd", name)
+    with open(p, "rb") as f:
+        blk = pkl.load(f)
+    blk = np.asarray(blk, np.float32)
+    blk[:, 0] += 1.0e6  # UTM-style offset: finite f32, inf as f16
+    with open(p, "wb") as f:
+        pkl.dump(blk, f)
+
+    with pytest.raises(ValueError, match="float16"):
+        ds2.packed_q_arrays()
+    leftovers = [f for f in os.listdir(ds2.save_path)
+                 if f.startswith("packed_xyz16") or ".tmp" in f]
+    assert not leftovers, leftovers
+
+    points, labels, valid = next(eval_batches(ds2, 4, h2d="packed"))
+    assert points.dtype == np.float32 and labels is not None
+    # the fallback built (and will reuse) the dense memmap cache
+    assert os.path.exists(os.path.join(ds2.save_path, "packed_pcd.npy"))
+    exact_pts, exact_lbl, _ = next(eval_batches(ds2, 4, h2d="exact"))
+    np.testing.assert_array_equal(points, exact_pts)
+    np.testing.assert_array_equal(labels, exact_lbl)
+
+
+def test_packed_q_clips_out_of_range_rgb(setup, tmp_path):
+    """rgb outside [0,1] must clip to the u8 range, not wrap modulo 256
+    (pack_batch semantics; advisor r3)."""
+    import pickle as pkl
+
+    ds, *_ = setup
+    ds2 = _copy_dataset(ds, str(tmp_path))
+    name = ds2.data_list[0]
+    p = os.path.join(ds2.save_path, "pcd", name)
+    with open(p, "rb") as f:
+        blk = pkl.load(f)
+    blk = np.asarray(blk, np.float32)
+    blk[:, 3] = 2.0  # rint(2*255)=510: wraps to 254 without the clip
+    with open(p, "wb") as f:
+        pkl.dump(blk, f)
+
+    xyz, rgb, lbl, lut = ds2.packed_q_arrays()
+    idx = ds2.data_list.index(name)
+    assert rgb[idx, :, 0].min() == 255
