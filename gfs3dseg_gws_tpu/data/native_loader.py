@@ -63,6 +63,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float)]
     lib.bl_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.bl_pool_error.restype = ctypes.c_char_p
+    lib.bl_pool_error.argtypes = [ctypes.c_void_p]
     lib.bl_sample_one.restype = ctypes.c_int
     lib.bl_sample_one.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -147,6 +149,12 @@ class NativeBatchPool:
                 pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 seg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if valid == -2:
+                # fail loudly like the Python path (np.load raises) rather
+                # than serving zero-filled stand-in rows as training data
+                bad = self._lib.bl_pool_error(self._pool).decode()
+                raise RuntimeError(
+                    f"native loader: unreadable or corrupt block file {bad}")
             yield pts, lbl, seg, int(valid)
 
     def close(self):

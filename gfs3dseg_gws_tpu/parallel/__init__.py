@@ -27,7 +27,6 @@ from gfs3dseg_gws_tpu.parallel.steps import (
     make_pretrain_multi_step,
     pack_batch,
     unpack_labels,
-    make_feature_step,
     make_coding_step,
     make_fg_feat_step,
 )
@@ -51,7 +50,6 @@ __all__ = [
     "make_pretrain_multi_step",
     "pack_batch",
     "unpack_labels",
-    "make_feature_step",
     "make_coding_step",
     "make_fg_feat_step",
 ]

@@ -44,7 +44,12 @@ def make_gfs_optimizer(base_lr: float, steps_per_epoch: int,
     def _adam(scale):
         sched = step_lr(base_lr * scale, step_size, gamma, steps_per_epoch)
         if weight_decay > 0:
-            return optax.adamw(sched, weight_decay=weight_decay)
+            # torch Adam's weight_decay is L2-added-to-grad, NOT decoupled
+            # AdamW decay — same construction as make_pretrain_optimizer
+            # (the reference GFS driver passes no weight_decay, train.py:426,
+            # so this only fires for explicit --weight_decay runs)
+            return optax.chain(optax.add_decayed_weights(weight_decay),
+                               optax.adam(sched))
         return optax.adam(sched)
 
     def label_fn(params):

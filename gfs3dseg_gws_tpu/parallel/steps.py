@@ -11,6 +11,7 @@ confusion-matrix update, with only (C, C) counts leaving the device.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -204,6 +205,18 @@ def pack_quantized_parts(xyz16, rgb8, labels):
     return buf
 
 
+@functools.lru_cache(maxsize=64)
+def cached_int32(value: int):
+    """Per-process cache of tiny device scalars (batch `valid` counts).
+
+    A fresh `jnp.int32(v)` per eval dispatch is its own H2D transfer, and
+    every transfer through the axon tunnel pays a fixed latency regardless
+    of size (scripts/bench_train_loop.py); `valid` repeats every sweep
+    (== batch_size for all but the final batch), so the cache removes one
+    transfer per batch."""
+    return jnp.int32(value)
+
+
 def pack_batch(points, labels=None):
     """Host-side: (..., N, 9) f32 xyzrgbXYZ (+ labels) -> ONE contiguous
     (..., N, 10) uint8 transfer buffer.
@@ -230,13 +243,13 @@ def pack_batch(points, labels=None):
     xyz16 = np.ascontiguousarray(pts[..., 0:3].astype(np.float16))
     if np.isinf(xyz16).any() and np.isfinite(pts[..., 0:3]).all():
         # room-scale block coords always fit f16 (|x| <= 65504); a dataset
-        # with huge absolute coordinates (UTM offsets, mm units) must use
-        # the exact path rather than silently shipping inf
-        import warnings
-
-        warnings.warn(
+        # with huge absolute coordinates (UTM offsets, mm units) cannot use
+        # the packed wire format — raise so make_batch_putter drops to the
+        # exact path permanently (shipping inf would NaN the loss after one
+        # easily-missed warning)
+        raise ValueError(
             "pack_batch: coordinates overflow float16; use h2d='exact' "
-            "(or GFS3D_EXACT_H2D=1) for this dataset", RuntimeWarning)
+            "(or GFS3D_EXACT_H2D=1) for this dataset")
     if labels is None:
         lbl = 0
     else:
@@ -452,20 +465,6 @@ def make_eval_logits_step(model, num_classes: int,
         return jax.jit(step)
     return jax.jit(step, in_shardings=(rep_s, data_s, data_s, rep_s),
                    out_shardings=rep_s)
-
-
-def make_feature_step(model, mesh: Optional[Mesh] = None,
-                      method: str = "get_features") -> Callable:
-    """Batched feature extraction (inference): returns the model method output."""
-
-    def step(variables, points, gp):
-        return model.apply(variables, points, gp, False, method=method)
-
-    data_s, rep_s = _shardings(mesh)
-    if mesh is None:
-        return jax.jit(step)
-    return jax.jit(step, in_shardings=(rep_s, data_s, rep_s),
-                   out_shardings=data_s)
 
 
 def make_coding_step(model, num_base: int,

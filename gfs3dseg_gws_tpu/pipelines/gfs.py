@@ -48,7 +48,8 @@ from gfs3dseg_gws_tpu.parallel import (
     shard_batch,
     shard_stacked_batch,
 )
-from gfs3dseg_gws_tpu.parallel.steps import cached_step, pack_quantized_parts
+from gfs3dseg_gws_tpu.parallel.steps import (cached_int32, cached_step,
+                                             pack_quantized_parts)
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_basis,
     load_checkpoint,
@@ -438,7 +439,7 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
             points = shard_batch(points, mesh)
             labels = shard_batch(labels, mesh)
         results.append(eval_step(variables_d, points, labels, *args_rep,
-                                 jnp.int32(valid)))
+                                 cached_int32(valid)))
         if len(results) > 48:
             consume(results.pop(0))
     for res in results:
@@ -490,7 +491,7 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
             points = shard_batch(points, mesh)
             labels = shard_batch(labels, mesh)
         results.append(eval_step(variables_d, points, labels, *args_rep,
-                                 jnp.int32(valid)))
+                                 cached_int32(valid)))
         if len(results) > 48:
             consume(results.pop(0))
     for res in results:

@@ -25,7 +25,8 @@ from gfs3dseg_gws_tpu.parallel import (TrainState, jit_init,
                                        make_pretrain_step, replicate,
                                        shard_batch)
 from gfs3dseg_gws_tpu.parallel.optim import make_pretrain_optimizer
-from gfs3dseg_gws_tpu.parallel.steps import make_eval_logits_step
+from gfs3dseg_gws_tpu.parallel.steps import (cached_int32,
+                                             make_eval_logits_step)
 from gfs3dseg_gws_tpu.utils.checkpoint import save_checkpoint, save_torch_pretrain_checkpoint
 from gfs3dseg_gws_tpu.utils.logging import AverageMeter, init_logger
 from gfs3dseg_gws_tpu.utils.observability import MetricsWriter
@@ -163,7 +164,7 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
                     points = shard_batch(points, mesh)
                     labels = shard_batch(labels, mesh)
                 results.append(eval_step(variables_d, points, labels,
-                                         jnp.int32(valid)))
+                                         cached_int32(valid)))
                 if len(results) > 48:
                     np.add(cm, np.asarray(results.pop(0), np.float64),
                            out=cm)

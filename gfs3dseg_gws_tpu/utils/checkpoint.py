@@ -92,7 +92,12 @@ def restore_into(target_tree, flat: Dict[str, np.ndarray], strict: bool = True):
 # --------------------------------------------------------------------------- #
 
 def _to_np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    # copy=True: a view aliasing torch storage silently mutates "our"
+    # converted weights if a torch optimizer later steps the source model
+    # (oracle tests run both frameworks side by side); the one-time copy
+    # cost is negligible next to the aliasing footgun
+    return np.array(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                    copy=True)
 
 
 def _conv_kernel(w) -> np.ndarray:
@@ -278,41 +283,30 @@ def save_torch_pretrain_checkpoint(encoder_params: Dict, encoder_stats: Dict,
     format so reference tooling can consume TPU-trained backbones."""
     import torch
 
+    # key layout only; the tensor packing is the shared _sd_put_conv /
+    # _sd_put_bn helpers (one owner: they also cast to f32, which a bf16
+    # param tree needs for torch.from_numpy)
     sd = {}
-
-    def put_convbn(base_t, conv_kernel, bn_p, bn_s, conv2d: bool):
-        w = np.asarray(conv_kernel).T
-        w = w.reshape(w.shape + ((1, 1) if conv2d else (1,)))
-        sd[f"{base_t}.weight"] = torch.from_numpy(np.ascontiguousarray(w))
-
-    def put_bn(base_t, p, s):
-        sd[f"{base_t}.weight"] = torch.from_numpy(np.asarray(p["scale"]))
-        sd[f"{base_t}.bias"] = torch.from_numpy(np.asarray(p["bias"]))
-        sd[f"{base_t}.running_mean"] = torch.from_numpy(np.asarray(s["mean"]))
-        sd[f"{base_t}.running_var"] = torch.from_numpy(np.asarray(s["var"]))
-        sd[f"{base_t}.num_batches_tracked"] = torch.tensor(0)
-
     for i in range(3):
         blk_p = encoder_params[f"edgeconv{i}"]
         blk_s = encoder_stats[f"edgeconv{i}"]
         base = f"edge_convs.{i}.layer"
-        put_convbn(f"{base}.0", blk_p["layer0_kernel"], None, None, True)
-        put_bn(f"{base}.1", blk_p["layer0_bn"], blk_s["layer0_bn"])
+        _sd_put_conv(sd, f"{base}.0", blk_p["layer0_kernel"], conv2d=True)
+        _sd_put_bn(sd, f"{base}.1", blk_p["layer0_bn"], blk_s["layer0_bn"])
         j = 1
         while f"layer{j}" in blk_p:
-            put_convbn(f"{base}.{3*j}", blk_p[f"layer{j}"]["conv"]["kernel"],
-                       None, None, True)
-            put_bn(f"{base}.{3*j+1}", blk_p[f"layer{j}"]["bn"],
-                   blk_s[f"layer{j}"]["bn"])
+            _sd_put_conv(sd, f"{base}.{3*j}",
+                         blk_p[f"layer{j}"]["conv"]["kernel"], conv2d=True)
+            _sd_put_bn(sd, f"{base}.{3*j+1}", blk_p[f"layer{j}"]["bn"],
+                       blk_s[f"layer{j}"]["bn"])
             j += 1
     for j in range(2):
-        put_convbn(f"conv.layer.{3*j}",
-                   encoder_params["mlp"][f"layer{j}"]["conv"]["kernel"],
-                   None, None, False)
-        put_bn(f"conv.layer.{3*j+1}", encoder_params["mlp"][f"layer{j}"]["bn"],
-               encoder_stats["mlp"][f"layer{j}"]["bn"])
+        _sd_put_conv(sd, f"conv.layer.{3*j}",
+                     encoder_params["mlp"][f"layer{j}"]["conv"]["kernel"])
+        _sd_put_bn(sd, f"conv.layer.{3*j+1}",
+                   encoder_params["mlp"][f"layer{j}"]["bn"],
+                   encoder_stats["mlp"][f"layer{j}"]["bn"])
 
-    import torch
     os.makedirs(out_dir, exist_ok=True)
     torch.save({"params": sd}, os.path.join(out_dir, "checkpoint.tar"))
 

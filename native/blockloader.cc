@@ -20,7 +20,6 @@
 #include <cstring>
 #include <fstream>
 #include <mutex>
-#include <queue>
 #include <string>
 #include <thread>
 #include <vector>
@@ -119,8 +118,12 @@ bool load_npy(const std::string& path, NpyArray* out) {
   if (sp == std::string::npos) return false;
   size_t lp = header.find('(', sp), rp = header.find(')', sp);
   std::string shape = header.substr(lp + 1, rp - lp - 1);
-  int64_t rows = 0, cols = 1;
-  if (sscanf(shape.c_str(), "%ld, %ld", &rows, &cols) < 1) return false;
+  int64_t rows = 0, cols = 1, d3 = 0;
+  int ndim = sscanf(shape.c_str(), "%ld, %ld, %ld", &rows, &cols, &d3);
+  if (ndim < 1) return false;
+  // reject >2-D arrays: reading only the first two entries would silently
+  // reinterpret an (a, b, c) file as valid (a, b) data
+  if (ndim >= 3) return false;
   if (cols == 0) cols = 1;
 
   const int64_t n = rows * cols;
@@ -327,19 +330,39 @@ struct Pool {
   std::condition_variable cv_space;
   std::atomic<int64_t> consumed{0};
   int64_t max_inflight = 64;
-  std::queue<std::pair<int64_t, Batch*>> ready;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
-  int64_t emitted = 0;
+  // first unreadable/corrupt block path; non-empty => the pool is poisoned
+  // and bl_pool_get returns -2 (a zero-filled stand-in row silently entering
+  // training batches contradicts the fail-loud collection policy)
+  std::atomic<bool> load_error{false};
+  std::string error_path;
   // out-of-order completion buffer
   std::vector<Batch*> done;
 
   ~Pool() {
-    stop = true;
+    {
+      // mutate under the lock: a worker between its predicate check and
+      // blocking would otherwise miss the notify and sleep forever,
+      // hanging the t.join() below (pool.close() at every epoch end)
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
     cv_space.notify_all();
     for (auto& t : workers)
       if (t.joinable()) t.join();
     for (auto* b : done) delete b;
+  }
+
+  void poison(const std::string& path) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (!load_error) error_path = path;
+      load_error = true;
+      stop = true;
+    }
+    cv_space.notify_all();
+    cv_ready.notify_all();
   }
 };
 
@@ -367,14 +390,23 @@ void worker_fn(Pool* p) {
     batch->valid = end - start;
     for (int64_t i = start; i < end; ++i) {
       NpyArray block;
-      if (!load_npy(p->paths[p->order[i]], &block)) continue;
+      if (!load_npy(p->paths[p->order[i]], &block)) {
+        p->poison(p->paths[p->order[i]]);
+        delete batch;
+        return;
+      }
       Rng rng(p->seed * 1000003ULL + static_cast<uint64_t>(i));
       SampleRequest req = p->req;
       req.sampled_classes = p->classes.data();
       req.n_sampled_classes = static_cast<int64_t>(p->classes.size());
       const int64_t off = i - start;
-      sample_block(block, req, &rng, &batch->points[off * P * 9],
-                   &batch->labels[off * P], &batch->segment[off * P]);
+      if (sample_block(block, req, &rng, &batch->points[off * P * 9],
+                       &batch->labels[off * P],
+                       &batch->segment[off * P]) != 0) {
+        p->poison(p->paths[p->order[i]]);
+        delete batch;
+        return;
+      }
     }
     // pad final short batch by repeating the first sample
     for (int64_t off = batch->valid; off < p->batch_size; ++off) {
@@ -444,7 +476,8 @@ int64_t bl_pool_num_batches(void* pool) {
 }
 
 // Blocks until batch `index` is ready; copies it out. Returns valid count,
-// or -1 past the end.
+// -1 past the end, or -2 if a worker hit an unreadable/corrupt block
+// (bl_pool_error gives the path).
 int64_t bl_pool_get(void* pool, int64_t index, float* points, int64_t* labels,
                     float* segment) {
   auto* p = static_cast<Pool*>(pool);
@@ -453,9 +486,13 @@ int64_t bl_pool_get(void* pool, int64_t index, float* points, int64_t* labels,
   {
     std::unique_lock<std::mutex> lk(p->mu);
     p->cv_ready.wait(lk, [&] {
-      return static_cast<int64_t>(p->done.size()) > index &&
-             p->done[index] != nullptr;
+      return p->load_error ||
+             (static_cast<int64_t>(p->done.size()) > index &&
+              p->done[index] != nullptr);
     });
+    if (static_cast<int64_t>(p->done.size()) <= index ||
+        p->done[index] == nullptr)
+      return -2;  // poisoned before this batch completed
     batch = p->done[index];
     p->done[index] = nullptr;
   }
@@ -466,9 +503,22 @@ int64_t bl_pool_get(void* pool, int64_t index, float* points, int64_t* labels,
          batch->segment.size() * sizeof(float));
   const int64_t valid = batch->valid;
   delete batch;
-  p->consumed.fetch_add(1);
+  {
+    // mutate under the lock (see ~Pool): an unlocked bump + notify can race
+    // a worker's predicate check and leave it blocked past the wakeup
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->consumed.fetch_add(1);
+  }
   p->cv_space.notify_all();
   return valid;
+}
+
+// Path of the first unreadable/corrupt block ("" if none). The pointer is
+// valid until bl_pool_destroy.
+const char* bl_pool_error(void* pool) {
+  auto* p = static_cast<Pool*>(pool);
+  std::lock_guard<std::mutex> lk(p->mu);
+  return p->error_path.c_str();
 }
 
 void bl_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }

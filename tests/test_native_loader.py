@@ -123,3 +123,57 @@ class TestPool:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
         assert not np.array_equal(a[0], c[0])
+
+
+    def test_corrupt_block_raises_not_zero_fills(self, synth, lib_ok,
+                                                 tmp_path):
+        """A truncated/corrupt .npy must surface as an error (like the
+        Python path's np.load), never as silent zero-filled rows counted
+        in `valid` (advisor r3); the pool must also shut down cleanly
+        (the poison path exercises the epoch-end close/join)."""
+        import shutil
+
+        reg = DatasetRegistry("s3dis", 0, synth)
+        classes = sorted(reg.train_classes)
+        data_dir = os.path.join(str(tmp_path), "data")
+        shutil.copytree(os.path.join(synth, "data"), data_dir)
+        names = sorted(n[:-4] for n in os.listdir(data_dir))
+        # truncate one block mid-payload
+        bad = os.path.join(data_dir, f"{names[2]}.npy")
+        with open(bad, "rb") as f:
+            head = f.read(200)
+        with open(bad, "wb") as f:
+            f.write(head)
+
+        pool = nl.NativeBatchPool(str(tmp_path), names, classes, NPTS,
+                                  batch_size=4, seed=1, n_threads=2)
+        with pytest.raises(RuntimeError, match="corrupt"):
+            for _ in pool:
+                pass
+        pool.close()  # must not hang on the poisoned workers
+
+    def test_pool_close_after_partial_consumption(self, synth, lib_ok):
+        """Breaking out of the iterator early (max_steps_per_epoch) then
+        closing must join workers promptly — the lost-wakeup regression
+        (advisor r3) hung exactly here when batches backed up against
+        max_inflight."""
+        import threading
+
+        reg = DatasetRegistry("s3dis", 0, synth)
+        classes = sorted(reg.train_classes)
+        names = sorted(n[:-4] for n in os.listdir(os.path.join(synth,
+                                                               "data")))
+        pool = nl.NativeBatchPool(synth, names, classes, NPTS, batch_size=1,
+                                  seed=3, n_threads=3)
+        it = iter(pool)
+        next(it)  # consume one batch, leave the rest in flight
+        done = threading.Event()
+
+        def closer():
+            pool.close()
+            done.set()
+
+        t = threading.Thread(target=closer)
+        t.start()
+        t.join(timeout=30)
+        assert done.is_set(), "pool.close() hung joining workers"

@@ -301,3 +301,29 @@ def test_packed_q_clips_out_of_range_rgb(setup, tmp_path):
     xyz, rgb, lbl, lut = ds2.packed_q_arrays()
     idx = ds2.data_list.index(name)
     assert rgb[idx, :, 0].min() == 255
+
+
+def test_pack_batch_overflow_raises_and_putter_self_heals():
+    """f16-overflowing coords must raise (not warn-and-ship-inf) so the
+    batch putter's designed ValueError fallback drops to exact transfers
+    permanently — one warning, finite features, training unharmed."""
+    from gfs3dseg_gws_tpu.parallel.mesh import make_batch_putter
+
+    pts = np.random.default_rng(0).uniform(0, 1, (2, 16, 9)).astype(
+        np.float32)
+    pts[..., 0] += 1.0e6  # finite f32, inf as f16
+    lbl = np.zeros((2, 16), np.int32)
+    with pytest.raises(ValueError, match="float16"):
+        pack_batch(pts, lbl)
+
+    put_pair = make_batch_putter(None, packed=True)
+    with pytest.warns(RuntimeWarning, match="packed H2D unavailable"):
+        p_dev, l_dev = put_pair(pts, lbl)
+    assert np.isfinite(np.asarray(p_dev)).all()
+    # permanent drop: second call is exact with no further warning
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        p_dev, l_dev = put_pair(pts, lbl)
+    assert np.isfinite(np.asarray(p_dev)).all()
