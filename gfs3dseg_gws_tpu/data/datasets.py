@@ -107,7 +107,17 @@ class ValSuppDataset:
     def _initialize(self) -> List[str]:
         if not os.path.exists(self.save_path):
             self._generate_episode()
-        return sorted(os.listdir(os.path.join(self.save_path, "pcd")))
+        names = sorted(os.listdir(os.path.join(self.save_path, "pcd")))
+        # a crash mid-_generate_episode leaves a partial tree that would
+        # otherwise be reused forever, silently registering prototypes for
+        # only some novel classes
+        expected = len(self.classes) * self.k_shot
+        if len(names) != expected:
+            raise RuntimeError(
+                f"support set {self.save_path} holds {len(names)} shots but "
+                f"{expected} ({len(self.classes)} classes x K={self.k_shot}) "
+                "were expected — delete the partial dir to re-materialise")
+        return names
 
     def _generate_episode(self):
         """Materialise k_shot support blocks per novel class
@@ -182,8 +192,13 @@ class TestingDataset:
         self.save_path = os.path.join(self.data_path,
                                       f"static_test_{num_point}")
         self.data_list = self._initialize()
-        assert len(self.data_list) == len(os.listdir(
-            os.path.join(self.save_path, "pcd")))
+        # reference loader.py:471 — a partial static_test dir (crashed
+        # materialisation) or one built from a different block set must not
+        # be silently evaluated as if complete
+        assert len(self.data_list) == len(self.block_names), (
+            f"static_test dir {self.save_path} holds {len(self.data_list)} "
+            f"blocks but the registry lists {len(self.block_names)}; delete "
+            "the stale dir to re-materialise")
 
     def _initialize(self) -> List[str]:
         if not os.path.exists(self.save_path):
@@ -249,10 +264,7 @@ class TestingDataset:
         pcd, lbl = self._load_cache(
             ((pcd_path, np.float32, (m, self.num_point, c)),
              (lbl_path, np.int32, (m, self.num_point))), self._build_packed)
-        lut = np.zeros(max(self.learning_order) + 1, np.int32)
-        for pos, cls in enumerate(self.learning_order):
-            lut[cls] = pos
-        return pcd, lbl, lut
+        return pcd, lbl, self._label_lut()
 
     def packed_q_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                        np.ndarray]:
@@ -275,10 +287,15 @@ class TestingDataset:
              (rgb_path, np.uint8, (m, self.num_point, 3)),
              (lbl_path, np.int32, (m, self.num_point))),
             self._build_packed_q)
+        return xyz, rgb, lbl, self._label_lut()
+
+    def _label_lut(self) -> np.ndarray:
+        """class-NAME id -> learning-order id (shared by both eval caches so
+        the exact and quantised paths can never remap labels differently)."""
         lut = np.zeros(max(self.learning_order) + 1, np.int32)
         for pos, cls in enumerate(self.learning_order):
             lut[cls] = pos
-        return xyz, rgb, lbl, lut
+        return lut
 
     def _load_cache(self, specs, builder):
         """Validated memmap cache loader: EVERY file must exist with the
@@ -334,8 +351,11 @@ class TestingDataset:
             rgb_path + tmp, mode="w+", dtype=np.uint8, shape=rgb_shape)
         lbl = np.lib.format.open_memmap(
             lbl_path + tmp, mode="w+", dtype=np.int32, shape=lbl_shape)
-        xyz_cols = self.pc_attribs.index("x")
-        rgb_cols = self.pc_attribs.index("r")
+        # the on-disk pickle layout is the sampler's presence-ordered
+        # [xyz, rgb, XYZ] parts list (sampler.py:162-167), NOT the attrib
+        # string order: xyz is always first and rgb always follows it
+        # (packed_q_arrays already requires both)
+        xyz_cols, rgb_cols = 0, 3
         try:
             for i, name in enumerate(self.data_list):
                 with open(os.path.join(self.save_path, "pcd", name),

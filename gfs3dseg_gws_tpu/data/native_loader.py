@@ -139,6 +139,15 @@ class NativeBatchPool:
         return self.n_batches
 
     def __iter__(self) -> Iterator:
+        # single-pass: batches are destructively consumed in C++ (the pool
+        # frees each after hand-off), so a second iteration would block
+        # forever on batch 0's condition variable — fail loudly instead
+        # (pipelines rebuild the pool per epoch; see gfs.py::train_batches)
+        if getattr(self, "_consumed", False):
+            raise RuntimeError(
+                "NativeBatchPool is single-pass; construct a new pool per "
+                "epoch")
+        self._consumed = True
         b, n = self.batch_size, self.num_point
         for i in range(self.n_batches):
             pts = np.empty((b, n, 9), np.float32)

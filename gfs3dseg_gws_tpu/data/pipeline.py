@@ -36,16 +36,22 @@ def batch_iterator(
     if drop_last:
         order = order[: (n // batch_size) * batch_size]
 
-    supports_rng = True
+    # probe the SIGNATURE, not a call: catching TypeError around the whole
+    # __getitem__ would misread a genuine in-item TypeError (corrupt pickle,
+    # malformed augment config) as "no rng support" and silently degrade
+    # every later fetch to the unseeded path
+    import inspect
+
+    try:
+        supports_rng = "rng" in inspect.signature(
+            dataset.__getitem__).parameters
+    except (TypeError, ValueError):
+        supports_rng = False
 
     def fetch(i, idx):
-        nonlocal supports_rng
-        rng = np.random.default_rng((seed, epoch, int(i)))
         if supports_rng:
-            try:
-                return dataset.__getitem__(int(idx), rng=rng)
-            except TypeError:
-                supports_rng = False
+            rng = np.random.default_rng((seed, epoch, int(i)))
+            return dataset.__getitem__(int(idx), rng=rng)
         return dataset[int(idx)]
 
     def stack(samples, valid):

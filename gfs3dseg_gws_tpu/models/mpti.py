@@ -94,11 +94,20 @@ class MPTI(nn.Module):
             protos.append(p)
             lab = jnp.zeros((kp, n_classes)).at[:, i + 1].set(1.0)
             labels.append(lab)
-        # background prototypes over all ways/shots
+        # background prototypes over all ways/shots. The reference SKIPS
+        # them entirely when the support set has no background points
+        # (mpti.py:219-228 returns None); static shapes keep the rows but
+        # neutralise them: labels zeroed (class 0 never propagates) and
+        # features shifted to a far sentinel so their gaussian affinity to
+        # every real node vanishes (the shift is translation-invariant
+        # among the sentinels themselves, so no degenerate degrees).
         bg_feat = s_feat.reshape(n_way * k_shot * n_pts, dim)
         bg_mask = 1.0 - fg_mask.reshape(-1)
-        protos.insert(0, multi_prototypes(bg_feat, bg_mask, kp))
-        labels.insert(0, jnp.zeros((kp, n_classes)).at[:, 0].set(1.0))
+        bg_valid = (jnp.sum(bg_mask) > 0).astype(s_feat.dtype)
+        bg_protos = multi_prototypes(bg_feat, bg_mask, kp)
+        protos.insert(0, bg_protos + (1.0 - bg_valid) * 1e6)
+        labels.insert(0,
+                      jnp.zeros((kp, n_classes)).at[:, 0].set(bg_valid))
 
         prototypes = jnp.concatenate(protos, axis=0)         # (P, D)
         proto_labels = jnp.concatenate(labels, axis=0)       # (P, n_classes)

@@ -114,6 +114,28 @@ class TestFewShotModels:
         # label-propagation scores are rows of mostly-positive mass
         assert np.isfinite(np.asarray(logits)).all()
 
+    def test_mpti_no_background_support(self):
+        """All-foreground support: the reference skips background
+        prototypes entirely (mpti.py:219-228); our static-shape
+        neutralisation must propagate ZERO class-0 mass (advisor r3 —
+        previously 100 fg-feature prototypes labelled bg were injected)."""
+        model = MPTI(n_way=2, k_shot=2, n_subprototypes=8, k_connect=16,
+                     edgeconv_widths=((8, 8),) * 3, mlp_widths=(16, 16),
+                     base_widths=(8, 8), output_dim=8, k=5, use_pallas=False)
+        sx, sy, qx, qy = self._episode()
+        sy = np.ones_like(sy)  # every support point is the target class
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng},
+                               sx, sy, qx, qy)
+        logits, loss = model.apply(variables, sx, sy, qx, qy)
+        assert np.isfinite(np.asarray(logits)).all()
+        assert np.isfinite(float(loss))
+        # no prototype carries a bg label, so no bg mass can propagate
+        np.testing.assert_allclose(np.asarray(logits[..., 0]), 0.0,
+                                   atol=1e-5)
+        # the fg columns still carry propagated mass
+        assert float(np.abs(np.asarray(logits[..., 1:])).sum()) > 0
+
 
 class TestFewShotMetric:
     def test_accumulate_matches_pointwise(self, rng):
