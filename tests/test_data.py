@@ -185,6 +185,45 @@ class TestStaticSets:
             np.testing.assert_array_equal(fp[:fv], sp[:fv])
             np.testing.assert_array_equal(fl[:fv], sl[:fv])
 
+    def test_valsupp_partial_dir_fails_loudly(self, synth):
+        """A crash mid-materialisation must not leave a silently-reused
+        partial support set (prototypes registered for only some novel
+        classes) — re-opening a dir with missing shots raises."""
+        _, train_dir, _ = synth
+        reg = DatasetRegistry("s3dis", 0, train_dir)
+        order = sorted(reg.train_classes) + sorted(reg.test_classes)
+        kw = dict(k_shot=2, num_point=256, seed=30, learning_order=order,
+                  registry=reg)
+        ds = ValSuppDataset(train_dir, "s3dis", cvfold=0, **kw)
+        victim = os.path.join(ds.save_path, "pcd",
+                              sorted(os.listdir(
+                                  os.path.join(ds.save_path, "pcd")))[0])
+        os.remove(victim)
+        with pytest.raises(RuntimeError, match="re-materialise"):
+            ValSuppDataset(train_dir, "s3dis", cvfold=0, **kw)
+
+    def test_static_test_stale_dir_fails_loudly(self, tmp_path):
+        """reference loader.py:471 — a static_test dir that does not match
+        the registry's block list (partial materialisation, or blocks added
+        since) must not be silently evaluated as if complete."""
+        root = str(tmp_path)
+        _, test_dir = make_synthetic_blocks(root, n_train_blocks=4,
+                                            n_test_blocks=4,
+                                            points_per_block=600, seed=11)
+        reg = DatasetRegistry("s3dis", 0, test_dir)
+        all_names = sorted(range(13))
+        order = sorted(reg.train_classes) + sorted(reg.test_classes)
+        c2s = {c: reg.class2scans[c] for c in all_names}
+        ds = StaticTestDataset(test_dir, all_names, order, c2s,
+                               num_point=128)
+        victim = os.path.join(ds.save_path, "pcd",
+                              os.listdir(os.path.join(ds.save_path,
+                                                      "pcd"))[0])
+        os.remove(victim)
+        with pytest.raises(AssertionError, match="re-materialise"):
+            StaticTestDataset(test_dir, all_names, order, c2s,
+                              num_point=128)
+
 
 class TestPipeline:
     def test_batch_iterator_shapes(self, synth):

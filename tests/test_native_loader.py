@@ -177,3 +177,19 @@ class TestPool:
         t.start()
         t.join(timeout=30)
         assert done.is_set(), "pool.close() hung joining workers"
+
+    def test_pool_is_single_pass(self, synth, lib_ok):
+        """Batches are destructively consumed in C++; a second iteration
+        used to block forever on batch 0's condition variable — it must
+        raise instead (pipelines construct a fresh pool per epoch)."""
+        reg = DatasetRegistry("s3dis", 0, synth)
+        classes = sorted(reg.train_classes)
+        names = sorted(n[:-4] for n in os.listdir(os.path.join(synth,
+                                                               "data")))
+        pool = nl.NativeBatchPool(synth, names, classes, NPTS, batch_size=4,
+                                  seed=2, n_threads=2)
+        n = sum(1 for _ in pool)
+        assert n == len(pool)
+        with pytest.raises(RuntimeError, match="single-pass"):
+            next(iter(pool))
+        pool.close()
