@@ -33,15 +33,17 @@ def confusion_matrix(pred: jax.Array, gt: jax.Array, num_classes: int,
 def iou_from_confusion(cm: np.ndarray, safe: bool = False) -> np.ndarray:
     """Per-class IoU from a confusion matrix cm[gt, pred].
 
-    With safe=False, division by zero for a never-seen class raises, matching
-    the reference's behaviour (runs/eval.py:57). safe=True yields 0 instead.
+    With safe=False, a never-seen class (zero denominator) raises
+    FloatingPointError, matching the reference's ZeroDivisionError from its
+    per-point Python loop (runs/eval.py:57). safe=True yields 0 instead.
     """
     cm = np.asarray(cm, dtype=np.float64)
     tp = np.diag(cm)
     denom = cm.sum(axis=0) + cm.sum(axis=1) - tp
     if safe:
         return np.where(denom > 0, tp / np.maximum(denom, 1), 0.0)
-    return tp / denom
+    with np.errstate(divide="raise", invalid="raise"):
+        return tp / denom
 
 
 def gfs_miou(

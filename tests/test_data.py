@@ -185,11 +185,18 @@ class TestStaticSets:
             np.testing.assert_array_equal(fp[:fv], sp[:fv])
             np.testing.assert_array_equal(fl[:fv], sl[:fv])
 
-    def test_valsupp_partial_dir_fails_loudly(self, synth):
+    def test_valsupp_partial_dir_fails_loudly(self, tmp_path):
         """A crash mid-materialisation must not leave a silently-reused
         partial support set (prototypes registered for only some novel
-        classes) — re-opening a dir with missing shots raises."""
-        _, train_dir, _ = synth
+        classes) — re-opening a dir with missing shots raises.
+
+        Uses its own tmp_path blocks (NOT the module-scoped `synth` fixture):
+        the test deletes a shot from the materialised ValSupp dir, which would
+        otherwise leave a permanently broken tree for any later test with the
+        same (k_shot, seed)."""
+        root = str(tmp_path)
+        train_dir, _ = make_synthetic_blocks(root, n_train_blocks=40,
+                                             n_test_blocks=2, seed=0)
         reg = DatasetRegistry("s3dis", 0, train_dir)
         order = sorted(reg.train_classes) + sorted(reg.test_classes)
         kw = dict(k_shot=2, num_point=256, seed=30, learning_order=order,

@@ -148,6 +148,19 @@ class TestMetrics:
         np.testing.assert_allclose(
             hm, 2 * base_ref * novel_ref / (base_ref + novel_ref), rtol=1e-9)
 
+    def test_iou_never_seen_class_strict_raises_safe_zeroes(self):
+        """A class absent from both gt and pred has a zero IoU denominator:
+        strict mode must raise (matching the reference per-point loop's
+        ZeroDivisionError, runs/eval.py:57), safe mode must yield 0."""
+        cm = np.zeros((3, 3))
+        cm[0, 0] = 5
+        cm[1, 1] = 3
+        cm[1, 0] = 2  # class 2 never appears anywhere
+        with pytest.raises(FloatingPointError):
+            iou_from_confusion(cm)
+        safe = iou_from_confusion(cm, safe=True)
+        np.testing.assert_allclose(safe, [5 / 7, 3 / 5, 0.0])
+
 
 class TestFPS:
     def test_first_index_and_spread(self, rng):
