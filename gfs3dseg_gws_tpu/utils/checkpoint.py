@@ -197,14 +197,30 @@ def convert_torch_segmenter(sd: Dict, prefix: str = "segmenter"
 
 
 def _torch_load_safe(path: str):
-    """torch.load(weights_only=True) tolerant of numpy scalar metadata.
+    """Load a torch-format checkpoint; tensors come back numpy or torch.
 
-    Real reference-trained checkpoints carry np.float64 metrics — train.py
-    saves `max_iou` and proto_train.py/mpti_train.py save `IoU` straight
-    from numpy means — which torch>=2.6's weights_only unpickler rejects
-    ("GLOBAL numpy.../scalar was not an allowed global"). Retry with just
-    the numpy scalar-reconstruction globals allowlisted; still no
-    arbitrary-code unpickling."""
+    First choice is the TORCH-FREE zip reader (utils/torch_reader.py) so a
+    TPU host without torch installed can still consume reference `.pth` /
+    `checkpoint.tar` artifacts (reference util/checkpoint_util.py:25-44) —
+    it returns numpy arrays, which every converter below already accepts
+    via `_to_np`. Anything it cannot parse (legacy non-zip format, globals
+    outside its whitelist) falls back to torch.load(weights_only=True),
+    tolerant of numpy scalar metadata: real reference-trained checkpoints
+    carry np.float64 metrics — train.py saves `max_iou` and
+    proto_train.py/mpti_train.py save `IoU` straight from numpy means —
+    which torch>=2.6's weights_only unpickler rejects ("GLOBAL
+    numpy.../scalar was not an allowed global"). Retry with just the numpy
+    scalar-reconstruction globals allowlisted; still no arbitrary-code
+    unpickling."""
+    from gfs3dseg_gws_tpu.utils import torch_reader
+
+    if torch_reader.is_zip_checkpoint(path) and not os.environ.get(
+            "GFS3D_FORCE_TORCH_LOAD"):
+        try:
+            return torch_reader.torch_free_load(path)
+        except Exception:
+            pass  # fall through to torch.load below
+
     import torch
 
     try:
@@ -267,7 +283,7 @@ def load_torch_coding(path: str) -> np.ndarray:
     (n_base, num_gw) multi-hot coding tensor (reference train.py:563,
     reloaded at train.py:466-467) -> float32 numpy array."""
     t = _torch_load_safe(path)
-    return np.asarray(t.detach().cpu().numpy(), np.float32)
+    return np.asarray(_to_np(t), np.float32)
 
 
 def save_torch_coding(coding: np.ndarray, path: str) -> None:

@@ -183,3 +183,118 @@ class TestTorchFormats:
 
         # nothing found -> None
         assert load_base_coding(str(tmp_path), 0.95) is None
+
+
+class TestTorchFreeReader:
+    """utils/torch_reader.py — parse torch.save zip archives WITHOUT torch
+    (reference util/checkpoint_util.py:25-44 artifacts on a torch-less TPU
+    host)."""
+
+    def test_matches_torch_load_on_odd_layouts(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from gfs3dseg_gws_tpu.utils.torch_reader import torch_free_load
+
+        base = torch.arange(24, dtype=torch.float32).reshape(4, 6)
+        obj = {
+            "contig": base.clone(),
+            "transposed": base.t(),                    # non-contiguous
+            "sliced": base[1:, ::2],                   # offset + stride
+            "scalar0d": torch.tensor(7.5),
+            "int64": torch.arange(5),
+            "bf16": torch.linspace(-2, 2, 8, dtype=torch.bfloat16),
+            "npmeta": np.array([0.1, 0.7]).mean(),     # np.float64 scalar
+            "plain": 3,
+            "nested": {"w": torch.ones(2, 3, 1, 1)},
+        }
+        path = str(tmp_path / "odd.pth")
+        torch.save(obj, path)
+        ours = torch_free_load(path)
+        ref = torch.load(path, map_location="cpu", weights_only=False)
+        for k in ("contig", "transposed", "sliced", "scalar0d", "int64"):
+            np.testing.assert_array_equal(ours[k], ref[k].numpy(), err_msg=k)
+        np.testing.assert_array_equal(ours["bf16"],
+                                      ref["bf16"].float().numpy())
+        assert ours["npmeta"] == ref["npmeta"]
+        assert ours["plain"] == 3
+        np.testing.assert_array_equal(ours["nested"]["w"],
+                                      ref["nested"]["w"].numpy())
+
+    def test_rejects_arbitrary_globals(self, tmp_path):
+        import pickle
+        import zipfile
+
+        # hand-build a zip archive whose pickle names a non-whitelisted
+        # global — the restricted unpickler must refuse it
+        from gfs3dseg_gws_tpu.utils.torch_reader import torch_free_load
+
+        path = str(tmp_path / "evil.pth")
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("evil/data.pkl", pickle.dumps({"f": os.system}))
+        with pytest.raises(pickle.UnpicklingError, match="not allowed"):
+            torch_free_load(path)
+
+    def test_legacy_format_falls_back_to_torch(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from gfs3dseg_gws_tpu.utils.checkpoint import load_torch_coding
+
+        coding = np.eye(4, dtype=np.float32)
+        path = str(tmp_path / "legacy.pth")
+        torch.save(torch.from_numpy(coding), path,
+                   _use_new_zipfile_serialization=False)
+        np.testing.assert_array_equal(load_torch_coding(path), coding)
+
+    def test_loads_reference_checkpoints_with_torch_blocked(
+            self, capl_variables, tmp_path):
+        """All three reference formats load on a host WITHOUT torch:
+        block torch imports in a subprocess and run the load_torch_* paths."""
+        pytest.importorskip("torch")
+        import subprocess
+        import sys
+
+        _, variables = capl_variables
+        gfs_path = str(tmp_path / "model.pth")
+        save_torch_gfs_checkpoint(variables["params"],
+                                  variables["batch_stats"], gfs_path,
+                                  epoch=3, max_iou=0.42)
+        model = DGCNN(edgeconv_widths=((8, 8), (8, 8), (8, 8)),
+                      mlp_widths=(16, 16), k=5, use_pallas=False)
+        dg_vars = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 9)))
+        pre_dir = str(tmp_path / "pre")
+        save_torch_pretrain_checkpoint(dg_vars["params"],
+                                       dg_vars["batch_stats"], pre_dir)
+        from gfs3dseg_gws_tpu.utils.checkpoint import save_torch_coding
+        coding_path = str(tmp_path / "coding.pth")
+        save_torch_coding(np.eye(3, dtype=np.float32), coding_path)
+
+        script = f"""
+import sys
+class _BlockTorch:
+    def find_spec(self, name, path=None, target=None):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch is blocked in this subprocess")
+sys.meta_path.insert(0, _BlockTorch())
+import numpy as np
+from gfs3dseg_gws_tpu.utils.checkpoint import (
+    load_torch_gfs_checkpoint, load_torch_pretrain_checkpoint,
+    load_torch_coding)
+try:
+    import torch  # noqa: F401
+    raise SystemExit("torch import was NOT blocked")
+except ImportError:
+    pass
+params, stats, meta = load_torch_gfs_checkpoint({gfs_path!r})
+assert meta == {{"epoch": 3, "max_iou": 0.42}}, meta
+assert "main_proto" in params and "encoder" in params
+p, s = load_torch_pretrain_checkpoint({pre_dir!r})
+assert "edgeconv0" in p and "mlp" in p
+c = load_torch_coding({coding_path!r})
+np.testing.assert_array_equal(c, np.eye(3, dtype=np.float32))
+print("TORCHFREE_OK")
+"""
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, timeout=300,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__))))
+        assert out.returncode == 0, out.stderr
+        assert "TORCHFREE_OK" in out.stdout
