@@ -678,6 +678,29 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         batch_stats["encoder"] = restore_into(batch_stats["encoder"],
                                               _flat(enc_s), strict=False)
 
+    # warm start: --model_checkpoint_path with start_epoch=0 loads the FULL
+    # model weights (params + BN stats) but a fresh optimizer/schedule — the
+    # matched-initial-weights hook the cross-framework training-equivalence
+    # oracle uses (tests/test_train_equivalence_oracle.py pairs it with the
+    # reference's load_model_checkpoint). The reference only full-loads under
+    # --only_evaluate (train.py:455-457); this is a documented extension.
+    if train_cfg.start_epoch == 0 and train_cfg.model_checkpoint_path \
+            and not train_cfg.only_evaluate:
+        logger.cprint("----- warm-starting full model from checkpoint -----")
+        if train_cfg.model_checkpoint_path.endswith((".pth", ".tar")):
+            t_params, t_stats, _ = load_torch_gfs_checkpoint(
+                train_cfg.model_checkpoint_path)
+            params = restore_into(params, _flat(t_params), strict=False)
+            batch_stats = restore_into(batch_stats, _flat(t_stats),
+                                       strict=False)
+        else:
+            flat, _ = load_checkpoint(train_cfg.model_checkpoint_path)
+            restored = restore_into(
+                {"params": params, "batch_stats": batch_stats}, flat,
+                strict=False)
+            params = restored["params"]
+            batch_stats = restored["batch_stats"]
+
     n_base = len(setup.train_class_names)
     steps_per_epoch = max(len(setup.train_data) // train_cfg.batch_size, 1)
     tx = make_gfs_optimizer(train_cfg.base_lr, steps_per_epoch,
