@@ -66,7 +66,11 @@ def _fused_kernel(x_tile_ref, x_all_ref, a_ref, b_ref, w2_ref, bias2_ref,
         # (2.80/3.60/3.09 at 1/5/10). kNN-alone is 1.40 ms of the fused
         # 2.76, so these matmuls already run at ~66% effective bf16 peak
         # and the stacked one-hot concatenation costs more than the
-        # deeper matmul saves (docs/ARCHITECTURE.md negative results).
+        # deeper matmul saves. The SPLIT variant (precomputed idx + cheap
+        # compare one-hots, fused_edgeconv_infer_split below) is ALSO a
+        # measured negative: 3.36-3.58 ms across all tile_q/stack configs
+        # vs 2.659 fused — splitting un-hides the extraction VPU time the
+        # per-round interleave here overlaps (docs/ARCHITECTURE.md).
         for _u in range(unroll):
             best = jnp.min(keys, axis=-1)                   # (TQ,)
             hit = keys == best[:, None]                     # (TQ, N) onehot
@@ -148,6 +152,103 @@ def fused_edgeconv_infer(x: jax.Array, a_table: jax.Array, b_table: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(x, x, a_table, b_table, w2, bias2.reshape(1, w1))
+
+
+def _gather_conv_kernel(idxt_ref, a_ref, b_ref, w2_ref, bias2_ref, out_ref,
+                        acc_ref, *, k: int, n: int, stack: int,
+                        neg_slope: float):
+    """Eval gather+conv from PRECOMPUTED idx (the split-kernel variant the
+    negative-results analysis predicted should pay: one-hots come from cheap
+    index compares, so `stack` rounds batch into one deep (G*TQ, N) @ (N, W0)
+    MXU matmul — the train GSF structure minus stats/residuals)."""
+    from gfs3dseg_gws_tpu.ops.fused_edgeconv_train import (_stack_rows,
+                                                           _stacked_onehot)
+
+    idxt = idxt_ref[0]                                      # (K, TQ)
+    a_tab = a_ref[0].astype(jnp.bfloat16)                   # (N, W0)
+    b_cen = b_ref[0].astype(jnp.float32)                    # (TQ, W0)
+    w2 = w2_ref[:].astype(jnp.bfloat16)                     # (W0, W1)
+    bias2 = bias2_ref[:].astype(jnp.float32)                # (1, W1)
+    tq = b_cen.shape[0]
+    b_stack = _stack_rows(b_cen, stack)
+
+    acc_ref[:] = jnp.full_like(acc_ref[:], -jnp.inf)
+    for base in range(0, k, stack):
+        oh = _stacked_onehot(idxt, base, stack, n, jnp.bfloat16)  # (G*TQ, N)
+        nbr = jnp.dot(oh, a_tab, preferred_element_type=jnp.float32)
+        e = nbr + b_stack
+        e = jnp.where(e >= 0, e, neg_slope * e)
+        l2 = jnp.dot(e.astype(jnp.bfloat16), w2,
+                     preferred_element_type=jnp.float32) + bias2
+        l2 = jnp.where(l2 >= 0, l2, neg_slope * l2)
+        acc = acc_ref[:]
+        for u in range(stack):
+            acc = jnp.maximum(acc, jax.lax.slice_in_dim(
+                l2, u * tq, (u + 1) * tq, axis=0))
+        acc_ref[:] = acc
+    out_ref[0] = acc_ref[:]
+
+
+def _gather_conv_pallas(idxt, a_table, b_table, w2, bias2, k, neg_slope,
+                        tile_q, stack):
+    b, n, w0 = a_table.shape
+    w1 = w2.shape[-1]
+    kern = functools.partial(_gather_conv_kernel, k=k, n=n, stack=stack,
+                             neg_slope=neg_slope)
+    return pl.pallas_call(
+        kern,
+        grid=(b, n // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, k, tile_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, w0), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, w0), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w0, w1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, w1), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, w1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_q, w1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(idxt, a_table, b_table, w2, bias2.reshape(1, w1))
+
+
+def fused_edgeconv_infer_split(x: jax.Array, a_table: jax.Array,
+                               b_table: jax.Array, w2: jax.Array,
+                               bias2: jax.Array, k: int,
+                               neg_slope: float = 0.2, tile_q: int = 512,
+                               stack: int = 5) -> jax.Array:
+    """MEASURED NEGATIVE RESULT — not wired into the model; kept compilable
+    so the measurement can be reproduced (like `_knn_pallas_fold`).
+
+    Split-kernel eval EdgeConv: the kNN extraction kernel emits idx, then a
+    stacked gather+conv kernel builds one-hots from cheap idx compares (the
+    train GSF structure minus stats). Bit-identical to
+    `fused_edgeconv_infer` on TPU (same packed-top-k idx, same bf16 one-hot
+    matmuls; verified max|diff| = 0.0 at (4, 2048, 64, K=20)) but SLOWER:
+    3.36-3.58 ms/layer across tile_q {256,512} x stack {4,5,10,20} vs 2.659
+    fused at (16, 2048, 64) — splitting un-hides the extraction VPU time
+    the fused per-round interleave overlaps (docs/ARCHITECTURE.md
+    negative-results list). Same args as `fused_edgeconv_infer`.
+    """
+    from gfs3dseg_gws_tpu.ops.fused_edgeconv_train import _pick_unroll
+    from gfs3dseg_gws_tpu.ops.knn import _knn_pallas
+
+    b, n, c = x.shape
+    tile_q = min(tile_q, n)
+    if n % tile_q != 0 or n < 2048:
+        return _fused_edgeconv_xla(x, a_table, b_table, w2, bias2, k,
+                                   neg_slope)
+    idx = _knn_pallas(x, k)
+    idxt = jnp.transpose(idx, (0, 2, 1)).astype(jnp.int32)
+    return _gather_conv_pallas(idxt, a_table, b_table, w2, bias2, k,
+                               neg_slope, tile_q, _pick_unroll(k, stack))
 
 
 def _fused_edgeconv_xla(x, a_table, b_table, w2, bias2, k, neg_slope):

@@ -76,6 +76,18 @@ def main():
     pk = jnp.stack([s1, t1, t1, t1, s1])
     dt = jnp.bfloat16
 
+    if "evalsplit" in which:
+        from gfs3dseg_gws_tpu.ops import fused_edgeconv as fe
+        bias2 = jnp.zeros((c,))
+        t = timed_loop(lambda xx: fe.fused_edgeconv_infer(
+            xx, a, bt, w2, bias2, k), x)
+        print(f"eval fused        {t*1e3:8.3f} ms/call   x3 = {3*t*1e3:6.2f} ms")
+        for tq in (256, 512):
+            for stack in (4, 5, 10, 20):
+                t = timed_loop(lambda xx: fe.fused_edgeconv_infer_split(
+                    xx, a, bt, w2, bias2, k, tile_q=tq, stack=stack), x)
+                print(f"eval split tq={tq:4d} G={stack:2d} {t*1e3:8.3f} ms/call"
+                      f"   x3 = {3*t*1e3:6.2f} ms")
     if "knn" in which:
         t = timed_loop(lambda xx: knn_mod._knn_pallas(xx, k).astype(jnp.float32), x)
         print(f"knn_pallas        {t*1e3:8.3f} ms/call   x3 = {3*t*1e3:6.2f} ms")

@@ -55,6 +55,30 @@ def test_pallas_interpret_close_to_xla():
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
 
 
+def test_split_variant_matches_xla():
+    """The split-kernel variant (measured negative, kept reproducible):
+    wrapper gate routes small N to the exact XLA path; the gather+conv
+    kernel itself matches under interpret mode when fed exact idx."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gfs3dseg_gws_tpu.ops.fused_edgeconv import (_gather_conv_pallas,
+                                                     fused_edgeconv_infer_split)
+    from gfs3dseg_gws_tpu.ops.knn import _knn_xla
+
+    x, a, b, w2, bias2 = _setup(2)
+    ref = np.asarray(_fused_edgeconv_xla(x, a, b, w2, bias2, k=5,
+                                         neg_slope=0.2))
+    got = np.asarray(fused_edgeconv_infer_split(x, a, b, w2, bias2, k=5))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    idxt = jnp.transpose(_knn_xla(x, 5), (0, 2, 1)).astype(jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_gather_conv_pallas(idxt, a, b, w2, bias2, 5, 0.2,
+                                             64, 5))
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
 def test_edgeconv_block_train_eval_paths_agree_statistically():
     """After setting realistic running stats, the (unfused) eval path output
     is finite and shaped; fused path only activates on TPU."""
