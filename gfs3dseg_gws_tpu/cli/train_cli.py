@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coding energy threshold, must be <= 1")
     p.add_argument("--eval_weight", type=float, default=1.0,
                    help="beta re-weighting; validation=1.0, testing > 1.0")
+    p.add_argument("--mesh", type=str, default="data",
+                   choices=["data", "dxp"], dest="mesh_shape",
+                   help="device mesh for evaluation: 'data' = 1-D data "
+                        "parallel; 'dxp' = 2-D data x points (sequence "
+                        "parallelism over the point axis for N >> 2048)")
+    p.add_argument("--mesh_sp", type=int, default=2,
+                   help="devices along the points axis of the dxp mesh")
     return p
 
 
@@ -90,6 +97,8 @@ def main(argv=None):
         pretrain_checkpoint_path=args.pretrain_checkpoint_path,
         model_checkpoint_path=args.model_checkpoint_path,
         basis_path=args.basis_path,
+        mesh_shape=args.mesh_shape,
+        mesh_sp=args.mesh_sp,
     )
 
     from gfs3dseg_gws_tpu.pipelines.gfs import evaluate_gfs, train_gfs

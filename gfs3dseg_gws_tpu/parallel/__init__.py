@@ -10,6 +10,7 @@ fake-prototype class means and confusion matrices automatically.
 from gfs3dseg_gws_tpu.parallel.mesh import (
     make_batch_putter,
     make_mesh,
+    make_mesh_dxp,
     shard_batch,
     shard_stacked_batch,
     replicate,
@@ -34,6 +35,7 @@ from gfs3dseg_gws_tpu.parallel.steps import (
 __all__ = [
     "make_batch_putter",
     "make_mesh",
+    "make_mesh_dxp",
     "shard_batch",
     "shard_stacked_batch",
     "replicate",

@@ -16,8 +16,29 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_dxp(sp: int = 2, n_devices: Optional[int] = None) -> Mesh:
+    """2-D `data x points` mesh: batch on `data`, the POINT axis on
+    `points` (sequence parallelism for point clouds — for N >> 2048 a
+    single chip cannot hold the all-pairs kNN/attention working set; XLA
+    inserts the all-gathers those ops need). `sp` devices along points.
+    CLI: `--mesh dxp --mesh_sp S` on the evaluation path; exercised at
+    full size by __graft_entry__.dryrun_multichip and in CI by
+    tests/test_pipelines_mesh.py."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(devices) % sp != 0:
+        raise ValueError(f"device count {len(devices)} not divisible by "
+                         f"mesh_sp={sp}")
+    arr = np.asarray(devices).reshape(len(devices) // sp, sp)
+    return Mesh(arr, ("data", "points"))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension over the mesh."""
+    """Shard the leading (batch) dimension over the mesh; on a
+    `data x points` mesh the second (point) dimension is sharded too."""
+    if "points" in mesh.axis_names:
+        return NamedSharding(mesh, P(axis, "points"))
     return NamedSharding(mesh, P(axis))
 
 
@@ -37,7 +58,9 @@ def shard_stacked_batch(batch, mesh: Mesh, axis: str = "data"):
     Transfer layout for multi-step dispatch (`make_gfs_multi_train_step`):
     dim 0 is the scan/steps axis and must stay whole on every device.
     """
-    s = NamedSharding(mesh, P(None, axis))
+    spec = (P(None, axis, "points") if "points" in mesh.axis_names
+            else P(None, axis))
+    s = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

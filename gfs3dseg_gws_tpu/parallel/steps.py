@@ -47,8 +47,14 @@ class TrainState:
 
 
 def _shardings(mesh: Optional[Mesh]):
+    """(batch, replicated) shardings; on a `data x points` mesh the batch
+    sharding also splits the point axis (dim 1 of every (B, N, ...) step
+    input — points, labels, packed buffers)."""
     if mesh is None:
         return None, None
+    if "points" in mesh.axis_names:
+        return (NamedSharding(mesh, P("data", "points")),
+                NamedSharding(mesh, P()))
     return NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
 
 

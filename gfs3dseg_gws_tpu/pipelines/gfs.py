@@ -574,7 +574,17 @@ def evaluate_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
     setup = build_setup(model_cfg, data_cfg, train_cfg, basis)
     logger = logger or init_logger(train_cfg.save_path, phase="test")
     if mesh is None and jax.device_count() > 1:
-        mesh = make_mesh()
+        # --mesh dxp: 2-D data x points mesh — sequence parallelism over
+        # the point axis for N >> 2048 (SURVEY §5 long-context plan);
+        # default 1-D data parallelism otherwise
+        if getattr(train_cfg, "mesh_shape", "data") == "dxp":
+            from gfs3dseg_gws_tpu.parallel import make_mesh_dxp
+            mesh = make_mesh_dxp(getattr(train_cfg, "mesh_sp", 2))
+            logger.cprint(f"---- data x points mesh "
+                          f"{dict(zip(mesh.axis_names, mesh.devices.shape))}"
+                          f" ----")
+        else:
+            mesh = make_mesh()
 
     variables = init_variables(setup, data_cfg, train_cfg.seed)
     if train_cfg.model_checkpoint_path.endswith(".pth"):

@@ -112,6 +112,9 @@ class TrainConfig:
     pretrain_checkpoint_path: str = ""
     model_checkpoint_path: str = ""
     basis_path: str = ""
+    mesh_shape: str = "data"       # "data" (1-D dp) | "dxp" (2-D data x
+                                   # points sequence parallelism, eval path)
+    mesh_sp: int = 2               # devices along the points axis for dxp
 
 
 @dataclass(frozen=True)

@@ -114,3 +114,47 @@ def test_packed_h2d_train_on_mesh(tmp_path):
     out = train_gfs(model_cfg, data_cfg, train_cfg, mesh=make_mesh(),
                     max_steps_per_epoch=3)
     assert out["history"] and np.isfinite(out["history"][-1]["mean_iou"])
+
+
+@pytest.mark.slow
+def test_dxp_mesh_eval_matches_data_mesh(tmp_path):
+    """--mesh dxp (2-D data x points sequence parallelism, the N >> 2048
+    long-context configuration at CI toy scale: 96 points split 2-way on
+    the `points` axis, batch split 4-way on `data`) evaluates a checkpoint
+    to the same metrics as the 1-D data mesh. mesh_shape="dxp" goes through
+    evaluate_gfs's own mesh construction — the same path the CLI flag
+    takes."""
+    root = str(tmp_path)
+    train_dir, test_dir = make_synthetic_blocks(
+        root, n_train_blocks=40, n_test_blocks=13, points_per_block=1500,
+        seed=31)
+    basis_path = os.path.join(root, "basis.pkl")
+    with open(basis_path, "wb") as f:
+        pickle.dump(np.random.default_rng(0).standard_normal(
+            (10, 24)).astype(np.float32), f)
+    model_cfg = ModelConfig(**TINY)
+    data_cfg = DataConfig(dataset="s3dis", cvfold=0, data_path=train_dir,
+                          testing_data_path=test_dir, pc_npts=NPTS, k_shot=2)
+    save = os.path.join(root, "gfs")
+    train_cfg = TrainConfig(batch_size=8, epochs=1, eval_interval=1,
+                            coding_interval=1, basis_path=basis_path,
+                            save_path=save, print_freq=1000)
+    train_gfs(model_cfg, data_cfg, train_cfg, mesh=make_mesh(),
+              max_steps_per_epoch=2)
+    ckpts = [f for f in os.listdir(save) if f.startswith("train_")]
+    assert ckpts
+
+    base = replace(train_cfg, only_evaluate=True,
+                   model_checkpoint_path=os.path.join(save, ckpts[0]))
+    m_data = evaluate_gfs(model_cfg, data_cfg,
+                          replace(base, save_path=os.path.join(root, "e1")),
+                          mesh=None)
+    m_dxp = evaluate_gfs(model_cfg, data_cfg,
+                         replace(base, save_path=os.path.join(root, "e2"),
+                                 mesh_shape="dxp", mesh_sp=2),
+                         mesh=None)
+    for k in ("mean_iou", "base_iou", "novel_iou", "hm_iou"):
+        np.testing.assert_allclose(m_dxp[k], m_data[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(m_dxp["per_class"], m_data["per_class"],
+                               rtol=1e-5, atol=1e-6)
