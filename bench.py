@@ -22,6 +22,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def _stage(msg):
+    """Cold-start liveness: staged progress on STDERR (the JSON result line
+    stays alone on stdout) so a driver/CI harness with a timeout sees the
+    first --sweep invocation making progress through fixture
+    materialisation, packed-cache build and compile instead of recording
+    nothing (round-3 verdict weak #2)."""
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache():
+    """Persist compiled executables across bench invocations so a cold
+    PROCESS is not a cold COMPILE. Best-effort: if the backend's PJRT
+    plugin can't serialise executables JAX logs a warning and compiles as
+    usual."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/gfs3d_jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 BASELINE_BLOCKS_PER_SEC_PER_CHIP = 5000.0 / 8.0
 # train-step target set by the round-1 review (>600 blocks/s/chip at the
 # reference batch (16, 2048)); the reference publishes no train throughput
@@ -130,8 +155,11 @@ def bench_sweep():
     root = f"/tmp/gfs3d_bench_sweep_n{npts}_m{n_blocks}"
     test_dir = os.path.join(root, "blocks_bs1.0_s1.0_test")
     if not os.path.isdir(test_dir):
+        _stage(f"materialising {n_blocks}-block synthetic fixture (cold, "
+               f"one-time)")
         make_synthetic_blocks(root, n_train_blocks=2, n_test_blocks=n_blocks,
                               points_per_block=npts + npts // 2, seed=9)
+    _stage("building dataset registry")
     reg = DatasetRegistry("s3dis", 0, test_dir)
     order = sorted(reg.train_classes) + sorted(reg.test_classes)
     names = sorted(order)
@@ -145,6 +173,7 @@ def bench_sweep():
     x0 = jnp.zeros((2, npts, 9))
     y0 = jnp.zeros((2, npts), jnp.int32)
     gp = jax.random.normal(jax.random.PRNGKey(3), (150, 192))
+    _stage("jit_init full model")
     variables = jit_init(model, {"params": rng, "dropout": rng,
                                  "fake": rng}, x0, y0, gp, train=True)
     gened = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (13, 128)))
@@ -156,12 +185,15 @@ def bench_sweep():
                         novel_coding, order, sorted(reg.test_classes), 13,
                         batch_size=batch)
 
+    _stage("warmup sweep (eval-step compile + packed memmap cache build)")
     sweep()  # compile + packed-cache build
+    _stage("warm; timing 3 sweeps")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         sweep()
         times.append(time.perf_counter() - t0)
+    _stage("done")
     blocks_per_sec = len(ds) / min(times)
     print(json.dumps({
         "metric": "gfs_eval_sweep_e2e_blocks_per_sec_per_chip",
@@ -229,6 +261,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _enable_compile_cache()
     if "--train" in sys.argv:
         bench_train()
     elif "--sweep" in sys.argv:
