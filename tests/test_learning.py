@@ -51,12 +51,17 @@ def test_gfs_training_learns(synth, tmp_path):
     final = out["history"][-1]
     assert np.isfinite(final["mean_iou"])
     # classes carry stable colour/height signatures, so the mechanism must
-    # demonstrably learn even at this tiny CI scale (8-wide convs, 128 pts,
-    # 12 epochs reach ~0.06 mean / ~0.038 base / ~0.085 novel; a full-size
-    # 30-epoch TPU run reaches ~0.65 mean). Thresholds sit well below the
-    # deterministic seeded values but far above the untrained ~0.01.
-    assert final["mean_iou"] > 0.045, out["history"]
-    assert final["base_iou"] > 0.015, out["history"]
+    # demonstrably learn even at this tiny CI scale. Floors calibrated by
+    # measured mutations at THIS exact config (2026-08): normal reaches
+    # mean 0.0781 / base 0.0700 / novel 0.0876; a FROZEN ENCODER
+    # (encoder_lr_scale=0) only 0.0553/0.0388/0.0746 and base_lr=0 only
+    # 0.0379/0.0116/0.0686 — the mean/base floors sit between normal and
+    # the strongest surviving mutation, so a silently broken loss term or
+    # dead optimizer group fails them (the run is seeded + deterministic).
+    # The production-scale claim is pinned separately in LEARNING_RUN.json
+    # (scripts/record_learning_run.py).
+    assert final["mean_iou"] > 0.065, out["history"]
+    assert final["base_iou"] > 0.055, out["history"]
     assert final["novel_iou"] > 0.04, out["history"]
 
 
