@@ -29,15 +29,19 @@ LABEL_BINARY = 2           # mask of target_class
 
 
 def build(force: bool = False) -> bool:
-    """Compile native/libblockloader.so with make; returns success."""
-    if os.path.exists(_LIB_PATH) and not force:
-        return True
+    """Compile native/libblockloader.so with make; returns success.
+
+    Always invokes make (a no-op when the .so is newer than the source) so
+    a checkout with a stale library picks up newly added symbols instead of
+    silently keeping the old binary."""
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+        cmd = ["make", "-C", _NATIVE_DIR]
+        if force:
+            cmd = ["make", "-C", _NATIVE_DIR, "-B"]
+        subprocess.run(cmd, check=True, capture_output=True)
         return os.path.exists(_LIB_PATH)
     except Exception:
-        return False
+        return os.path.exists(_LIB_PATH) and not force
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -73,12 +77,47 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float)]
+    try:
+        lib.bl_pack.restype = ctypes.c_int
+        lib.bl_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib._has_pack = True
+    except AttributeError:   # stale .so predating bl_pack
+        lib._has_pack = False
     _lib = lib
     return lib
 
 
 def is_available() -> bool:
     return _load() is not None
+
+
+def pack_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_pack", False)
+
+
+def pack(points: np.ndarray, labels: Optional[np.ndarray],
+         out: np.ndarray, n_threads: int = 0) -> int:
+    """One-pass C encoder for the packed H2D wire buffer.
+
+    points: C-contiguous (count, 9) float32; labels: C-contiguous (count,)
+    int64 or None; out: (count, 10) uint8, written in place. Returns the
+    bl_pack status: 0 ok, 1 finite-coordinate f16 overflow, 2 label outside
+    u8 — `parallel.steps.pack_batch` maps 1/2 onto the same ValueErrors the
+    numpy path raises. Byte-identical to the numpy path
+    (tests/test_native_loader.py::TestNativePack)."""
+    lib = _load()
+    assert lib is not None and lib._has_pack, "native pack not built"
+    lbl_ptr = labels.ctypes.data_as(ctypes.c_void_p) if labels is not None \
+        else None
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    return lib.bl_pack(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), lbl_ptr,
+        points.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
 
 
 def sample_one(path: str, classes: Sequence[int], num_point: int,

@@ -211,6 +211,52 @@ def pack_quantized_parts(xyz16, rgb8, labels):
     return buf
 
 
+def _native_pack(pts, labels):
+    """One-pass C encoder for the pack_batch wire buffer, or None when the
+    numpy path must run instead.
+
+    The numpy path makes four full-array passes at the spd8 production
+    chunk (astype f16, isinf/isfinite guards, rgb rint, byte assembly) —
+    measured 18.5 ms on the 1-core TPU host, none of which hides behind
+    device compute (docs/ARCHITECTURE.md, host-fed attribution). The fused
+    C pass (native/blockloader.cc::bl_pack) is byte-identical and 5.0 ms.
+    Native handles only the hot exact case: float32 input (anything else
+    would double-round f64->f32->f16) with labels of matching shape; the
+    guard ValueErrors carry the same messages, so make_batch_putter's
+    fallback-to-exact behaviour is unchanged. GFS3D_NO_NATIVE=1 disables.
+    """
+    import os
+
+    import numpy as np
+
+    if pts.dtype != np.float32 or os.environ.get("GFS3D_NO_NATIVE"):
+        return None
+    if labels is not None:
+        lbl = np.asarray(labels)
+        if lbl.shape != pts.shape[:-1]:
+            return None          # numpy path broadcasts/raises as before
+        lbl64 = np.ascontiguousarray(lbl, np.int64).reshape(-1)
+    else:
+        lbl = lbl64 = None
+    from gfs3dseg_gws_tpu.data import native_loader as nl
+
+    if not nl.pack_available():
+        return None
+    flat = np.ascontiguousarray(pts).reshape(-1, 9)
+    out = np.empty(pts.shape[:-1] + (PACKED_POINT_BYTES,), np.uint8)
+    rc = nl.pack(flat, lbl64, out.reshape(-1, PACKED_POINT_BYTES))
+    if rc == 1:
+        raise ValueError(
+            "pack_batch: coordinates overflow float16; use h2d='exact' "
+            "(or GFS3D_EXACT_H2D=1) for this dataset")
+    if rc == 2:
+        raise ValueError(
+            f"pack_batch labels outside the u8 range "
+            f"[{lbl.min()}, {lbl.max()}]; use h2d='exact' for datasets "
+            "with negative/large ignore labels")
+    return out
+
+
 @functools.lru_cache(maxsize=64)
 def cached_int32(value: int):
     """Per-process cache of tiny device scalars (batch `valid` counts).
@@ -246,6 +292,9 @@ def pack_batch(points, labels=None):
         raise ValueError(
             f"pack_batch requires 9-feature xyzrgbXYZ points, got "
             f"{pts.shape[-1]}; use h2d='exact' for other --pc_attribs")
+    native = _native_pack(pts, labels)
+    if native is not None:
+        return native
     xyz16 = np.ascontiguousarray(pts[..., 0:3].astype(np.float16))
     if np.isinf(xyz16).any() and np.isfinite(pts[..., 0:3]).all():
         # room-scale block coords always fit f16 (|x| <= 65504); a dataset

@@ -427,9 +427,118 @@ void worker_fn(Pool* p) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Packed wire-format encoder (parallel/steps.py::pack_batch hot path)
+// ---------------------------------------------------------------------------
+// f32 -> f16 with IEEE round-to-nearest-even, bit-exact with numpy's
+// astype(float16) (standard magic-number conversion; overflow saturates to
+// inf like hardware/numpy).
+inline uint16_t f32_to_f16_rtne(float ff) {
+  uint32_t f;
+  memcpy(&f, &ff, 4);
+  const uint32_t f32inf = 255u << 23;
+  const uint32_t f16max = (127u + 16u) << 23;           // smallest overflow
+  const uint32_t denorm_magic_u = ((127u - 15u) + (23u - 10u) + 1u) << 23;
+  const uint32_t sign = f & 0x80000000u;
+  uint16_t o;
+  f ^= sign;
+  if (f >= f16max) {
+    o = (f > f32inf) ? 0x7e00 : 0x7c00;                 // nan : inf
+  } else if (f < (113u << 23)) {
+    // subnormal-f16 range: float addition of the magic constant performs
+    // the RNE shift/round in hardware
+    float fd;
+    memcpy(&fd, &f, 4);
+    float magic;
+    memcpy(&magic, &denorm_magic_u, 4);
+    fd += magic;
+    uint32_t d;
+    memcpy(&d, &fd, 4);
+    o = static_cast<uint16_t>(d - denorm_magic_u);
+  } else {
+    const uint32_t mant_odd = (f >> 13) & 1u;           // ties-to-even
+    f += (static_cast<uint32_t>(15 - 127) << 23) + 0xfffu;
+    f += mant_odd;
+    o = static_cast<uint16_t>(f >> 13);
+  }
+  return o | static_cast<uint16_t>(sign >> 16);
+}
+
+struct PackFlags {
+  std::atomic<bool> overflow{false};     // finite f32 -> f16 inf
+  std::atomic<bool> nonfinite{false};    // input already inf/nan
+  std::atomic<bool> badlabel{false};     // label outside u8
+};
+
+// Encode rows [begin, end): xyz f16 LE bytes 0:6 | rgb u8 6:9 | label 9 —
+// the exact layout of parallel/steps.py::pack_quantized_parts. rgb matches
+// numpy clip(rint(v * 255), 0, 255) in f32 arithmetic (nearbyintf is
+// round-half-to-even under the default FE_TONEAREST mode, like np.rint).
+void pack_rows(const float* pts, const int64_t* labels, int64_t begin,
+               int64_t end, uint8_t* out, PackFlags* flags) {
+  bool overflow = false, nonfinite = false, badlabel = false;
+  for (int64_t i = begin; i < end; ++i) {
+    const float* p = pts + i * 9;
+    uint8_t* o = out + i * 10;
+    for (int d = 0; d < 3; ++d) {
+      const float v = p[d];
+      const uint16_t h = f32_to_f16_rtne(v);
+      if (!std::isfinite(v)) nonfinite = true;
+      else if ((h & 0x7fffu) == 0x7c00u) overflow = true;
+      o[d * 2] = static_cast<uint8_t>(h & 0xffu);        // little-endian
+      o[d * 2 + 1] = static_cast<uint8_t>(h >> 8);
+    }
+    for (int d = 0; d < 3; ++d) {
+      float v = std::nearbyintf(p[3 + d] * 255.0f);
+      v = std::max(0.0f, std::min(255.0f, v));
+      o[6 + d] = static_cast<uint8_t>(v);
+    }
+    int64_t l = 0;
+    if (labels) {
+      l = labels[i];
+      if (l < 0 || l > 255) {
+        badlabel = true;
+        l = 0;
+      }
+    }
+    o[9] = static_cast<uint8_t>(l);
+  }
+  if (overflow) flags->overflow = true;
+  if (nonfinite) flags->nonfinite = true;
+  if (badlabel) flags->badlabel = true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// One-pass encoder for the (count, 9) f32 xyzrgbXYZ -> (count, 10) u8
+// packed H2D wire buffer (parallel/steps.py::pack_batch byte layout).
+// `labels` may be NULL (byte 9 = 0). Returns 0 on success, 1 if a FINITE
+// coordinate overflowed f16 (numpy path raises only in that case — inputs
+// already containing inf/nan pass through, matching pack_batch's
+// isinf(out) && isfinite(in) guard), 2 if any label is outside [0, 255].
+// n_threads <= 1 encodes inline; more splits rows across std::threads.
+int bl_pack(const float* points, const int64_t* labels, int64_t count,
+            uint8_t* out, int n_threads) {
+  PackFlags flags;
+  if (n_threads <= 1 || count < 65536) {
+    pack_rows(points, labels, 0, count, out, &flags);
+  } else {
+    std::vector<std::thread> ts;
+    const int64_t chunk = (count + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      const int64_t b = t * chunk;
+      const int64_t e = std::min(count, b + chunk);
+      if (b >= e) break;
+      ts.emplace_back(pack_rows, points, labels, b, e, out, &flags);
+    }
+    for (auto& t : ts) t.join();
+  }
+  if (flags.overflow && !flags.nonfinite) return 1;
+  if (flags.badlabel) return 2;
+  return 0;
+}
 
 // Creates a pool over n_paths NUL-separated block file paths.
 void* bl_pool_create(const char* paths_blob, int64_t n_paths,
