@@ -366,11 +366,20 @@ def unpack_labels(labels):
 
 
 def make_gfs_eval_step(model, num_classes: int,
-                       mesh: Optional[Mesh] = None) -> Callable:
+                       mesh: Optional[Mesh] = None,
+                       packed_out: bool = False) -> Callable:
     """Fused GFS eval step: logits + argmax + confusion matrix on device.
 
     signature: (variables, points, labels, gp, gened_proto, base_coding,
                 novel_coding) -> (cm (C,C), gp_acc, gp_novel_acc)
+
+    packed_out=True concatenates the outputs into ONE f32 vector
+    (cm.ravel() | gp_acc | gp_novel_acc), shape (C*C + 2,) — every
+    fetched device array is a separate D2H transfer through the axon
+    tunnel with its own fixed latency, and the three tiny results cost
+    ~16 ms/batch of sweep tail (measured, scripts/probe_sweep_tail.py:
+    1,533 -> 1,698 blocks/s on the cached sweep from this packing alone).
+    All values are exact in f32 (cm counts < 2^24 per batch).
     """
 
     def step(variables, points, labels, gp, gened_proto, base_coding,
@@ -384,6 +393,11 @@ def make_gfs_eval_step(model, num_classes: int,
         row_ok = (jnp.arange(points.shape[0]) < valid)
         mask = jnp.broadcast_to(row_ok[:, None], labels.shape)
         cm = confusion_matrix(pred, labels, num_classes, mask)
+        if packed_out:
+            return jnp.concatenate([
+                cm.reshape(-1).astype(jnp.float32),
+                gp_acc.reshape(1).astype(jnp.float32),
+                gp_nacc.reshape(1).astype(jnp.float32)])
         return cm, gp_acc, gp_nacc
 
     data_s, rep_s = _shardings(mesh)
@@ -393,18 +407,23 @@ def make_gfs_eval_step(model, num_classes: int,
         step,
         in_shardings=(rep_s, data_s, data_s, rep_s, rep_s, rep_s, rep_s,
                       rep_s),
-        out_shardings=(rep_s, rep_s, rep_s),
+        out_shardings=rep_s if packed_out else (rep_s, rep_s, rep_s),
     )
 
 
 def make_gfs_eval_multi_step(model, num_classes: int,
-                             mesh: Optional[Mesh] = None) -> Callable:
+                             mesh: Optional[Mesh] = None,
+                             packed_out: bool = False) -> Callable:
     """Multi-seed GFS eval: S prototype sets share one feature sweep
     (GWCAPL.evaluate_multi). Returns per-seed confusion matrices.
 
     signature: (variables, points, labels, gp, gened_protos (S,cls,C),
                 base_coding, novel_codings (S,n_novel,K), valid) ->
                (cm (S,C,C), gp_acc (S,), gp_novel_acc (S,))
+
+    packed_out=True returns ONE (S, C*C + 2) f32 array instead (per-seed
+    rows: cm.ravel() | gp_acc | gp_novel_acc) — one D2H transfer per
+    batch instead of three (see make_gfs_eval_step).
     """
 
     def step(variables, points, labels, gp, gened_protos, base_coding,
@@ -419,6 +438,12 @@ def make_gfs_eval_multi_step(model, num_classes: int,
         mask = jnp.broadcast_to(row_ok[:, None], labels.shape)
         cm = jax.vmap(lambda p: confusion_matrix(p, labels, num_classes,
                                                  mask))(pred)
+        if packed_out:
+            s = cm.shape[0]
+            return jnp.concatenate([
+                cm.reshape(s, -1).astype(jnp.float32),
+                gp_acc.reshape(s, 1).astype(jnp.float32),
+                gp_nacc.reshape(s, 1).astype(jnp.float32)], axis=1)
         return cm, gp_acc, gp_nacc
 
     data_s, rep_s = _shardings(mesh)
@@ -428,7 +453,7 @@ def make_gfs_eval_multi_step(model, num_classes: int,
         step,
         in_shardings=(rep_s, data_s, data_s, rep_s, rep_s, rep_s, rep_s,
                       rep_s),
-        out_shardings=(rep_s, rep_s, rep_s),
+        out_shardings=rep_s if packed_out else (rep_s, rep_s, rep_s),
     )
 
 

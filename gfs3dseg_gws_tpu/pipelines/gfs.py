@@ -462,7 +462,12 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
              scannet: bool = False, logger: Optional[IOStream] = None,
              h2d: str = "auto", device_cache=None):
     """Full static_test sweep -> GFS metric (reference train.py:666-731)."""
-    eval_step = cached_step(make_gfs_eval_step, model, num_classes, mesh)
+    # packed_out: one (C*C+2,) result array per batch — the three tiny
+    # outputs otherwise cost three fixed-latency D2H transfers each
+    # (measured 1,533 -> 1,698 blocks/s on the cached sweep; see
+    # scripts/probe_sweep_tail.py)
+    eval_step = cached_step(make_gfs_eval_step, model, num_classes, mesh,
+                            packed_out=True)
     gp_acc_m, gp_nacc_m = AverageMeter(), AverageMeter()
     args_rep = (gp, jnp.asarray(gened_proto), jnp.asarray(base_coding),
                 jnp.asarray(novel_coding))
@@ -480,10 +485,10 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
     cm = np.zeros((num_classes, num_classes), np.float64)
 
     def consume(res):
-        cm_b, acc, nacc = res
-        np.add(cm, np.asarray(cm_b, np.float64), out=cm)
-        gp_acc_m.update(float(acc))
-        gp_nacc_m.update(float(nacc))
+        flat = np.asarray(res, np.float64)   # ONE D2H per batch
+        np.add(cm, flat[:-2].reshape(num_classes, num_classes), out=cm)
+        gp_acc_m.update(float(flat[-2]))
+        gp_nacc_m.update(float(flat[-1]))
 
     results = []
     for points, labels, valid in _device_eval_batches(
@@ -513,7 +518,7 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
     from gfs3dseg_gws_tpu.parallel.steps import make_gfs_eval_multi_step
 
     eval_step = cached_step(make_gfs_eval_multi_step, model, num_classes,
-                            mesh)
+                            mesh, packed_out=True)   # see validate()
     n_seeds = gened_protos.shape[0]
     gp_acc_m, gp_nacc_m = AverageMeter(), AverageMeter()
     args_rep = (gp, jnp.asarray(gened_protos), jnp.asarray(base_coding),
@@ -527,10 +532,11 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
     cm = np.zeros((n_seeds, num_classes, num_classes), np.float64)
 
     def consume(res):
-        cm_b, acc, nacc = res
-        np.add(cm, np.asarray(cm_b, np.float64), out=cm)
-        gp_acc_m.update(float(np.mean(np.asarray(acc))))
-        gp_nacc_m.update(float(np.mean(np.asarray(nacc))))
+        flat = np.asarray(res, np.float64)   # ONE D2H per batch: (S, C*C+2)
+        np.add(cm, flat[:, :-2].reshape(n_seeds, num_classes, num_classes),
+               out=cm)
+        gp_acc_m.update(float(np.mean(flat[:, -2])))
+        gp_nacc_m.update(float(np.mean(flat[:, -1])))
 
     results = []
     for points, labels, valid in _device_eval_batches(

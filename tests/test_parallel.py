@@ -151,6 +151,26 @@ class TestShardedTraining:
             *replicate((gp, gened, bc, nc, jnp.int32(B - 4)), mesh))
         assert np.asarray(cm2).sum() == (B - 4) * N
 
+    def test_eval_step_packed_out_matches_tuple(self, setup):
+        """packed_out=True is the same math in ONE output array
+        (cm.ravel() | gp_acc | gp_nacc) — the validate() fast path."""
+        model, variables, x, y, gp = setup
+        mesh = make_mesh()
+        gened = jax.random.normal(jax.random.PRNGKey(3), (CLASSES, 16))
+        bc = jnp.ones((BASE, NUM_GW))
+        nc = jnp.ones((CLASSES - BASE, NUM_GW))
+        args = (replicate(variables, mesh), shard_batch(x, mesh),
+                shard_batch(y, mesh),
+                *replicate((gp, gened, bc, nc, jnp.int32(B)), mesh))
+        cm, acc, nacc = make_gfs_eval_step(model, CLASSES, mesh)(*args)
+        flat = np.asarray(
+            make_gfs_eval_step(model, CLASSES, mesh, packed_out=True)(*args))
+        assert flat.shape == (CLASSES * CLASSES + 2,)
+        np.testing.assert_array_equal(
+            flat[:-2].reshape(CLASSES, CLASSES), np.asarray(cm))
+        np.testing.assert_array_equal(flat[-2], np.asarray(acc))
+        np.testing.assert_array_equal(flat[-1], np.asarray(nacc))
+
     def test_coding_step(self, setup):
         model, variables, x, y, gp = setup
         step = make_coding_step(model, BASE)
