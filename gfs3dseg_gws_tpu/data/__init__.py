@@ -18,7 +18,8 @@ from gfs3dseg_gws_tpu.data.datasets import (
     ValSuppDataset,
 )
 from gfs3dseg_gws_tpu.data.pipeline import batch_iterator
-from gfs3dseg_gws_tpu.data.synthetic import make_synthetic_blocks
+from gfs3dseg_gws_tpu.data.synthetic import (make_synthetic_blocks,
+                                             make_synthetic_geometry_blocks)
 
 __all__ = [
     "DatasetRegistry",
@@ -32,4 +33,5 @@ __all__ = [
     "ValSuppDataset",
     "batch_iterator",
     "make_synthetic_blocks",
+    "make_synthetic_geometry_blocks",
 ]

@@ -20,6 +20,8 @@ from gfs3dseg_gws_tpu.parallel.mesh import (
 from gfs3dseg_gws_tpu.parallel.optim import make_gfs_optimizer, step_lr
 from gfs3dseg_gws_tpu.parallel.steps import (
     TrainState,
+    device_put_packed,
+    host_init,
     jit_init,
     make_gfs_train_step,
     make_gfs_multi_train_step,
@@ -44,6 +46,8 @@ __all__ = [
     "make_gfs_optimizer",
     "step_lr",
     "TrainState",
+    "device_put_packed",
+    "host_init",
     "jit_init",
     "make_gfs_train_step",
     "make_gfs_multi_train_step",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -416,32 +417,50 @@ def _device_eval_batches(val_dataset, batch_size: int, h2d: str, mesh,
     Guards: caching is skipped beyond GFS3D_DEVICE_CACHE_MB (default 512)
     of transferred bytes — the cache then holds nothing and every sweep
     streams exactly as without it; GFS3D_NO_DEVICE_CACHE=1 disables it
-    globally (strict-memory escape hatch). Entries key on (batch size,
-    transfer mode, mesh-ness) so a mid-run batch-size change cannot serve
-    stale shapes.
+    globally (strict-memory escape hatch). Entries key on (dataset
+    identity, batch size, transfer mode, mesh-ness) so neither a mid-run
+    batch-size change nor a cache dict shared across two datasets can
+    serve stale batches.
     """
     from gfs3dseg_gws_tpu.utils.env import env_flag
 
     if cache is not None and env_flag("GFS3D_NO_DEVICE_CACHE"):
         cache = None
-    key = ("eval_set", batch_size, _h2d_mode(h2d), mesh is None)
+    key = ("eval_set", id(val_dataset), len(val_dataset), batch_size,
+           _h2d_mode(h2d), mesh is None)
     if cache is not None and key in cache:
         yield from cache[key]
         return
-    cap = float(os.environ.get("GFS3D_DEVICE_CACHE_MB", "512")) * 2**20
     staged = [] if cache is not None else None
+    cap = 512.0
+    if staged is not None:
+        # lazy parse: a malformed env value downgrades to streaming with a
+        # warning instead of crashing every validation sweep
+        raw = os.environ.get("GFS3D_DEVICE_CACHE_MB", "512")
+        try:
+            cap = float(raw)
+        except ValueError:
+            warnings.warn(f"GFS3D_DEVICE_CACHE_MB={raw!r} is not a number; "
+                          "using the 512 MB default")
+    cap *= 2**20
     total = 0
-    for points, labels, valid in eval_batches(val_dataset, batch_size, h2d):
-        if labels is None:    # single-buffer packed batch: ONE transfer,
-            points = (shard_batch(points, mesh) if mesh is not None
-                      else jax.device_put(points))
-            labels = points   # labels read from byte 9 on device
-        elif mesh is not None:
-            points = shard_batch(points, mesh)
-            labels = shard_batch(labels, mesh)
-        else:
-            points = jax.device_put(points)
-            labels = jax.device_put(labels)
+
+    def produce():
+        for points, labels, valid in eval_batches(val_dataset, batch_size,
+                                                  h2d):
+            if labels is None:  # single-buffer packed batch: ONE transfer,
+                points = (shard_batch(points, mesh) if mesh is not None
+                          else jax.device_put(points))
+                labels = points   # labels read from byte 9 on device
+            elif mesh is not None:
+                points = shard_batch(points, mesh)
+                labels = shard_batch(labels, mesh)
+            else:
+                points = jax.device_put(points)
+                labels = jax.device_put(labels)
+            yield points, labels, valid
+
+    for points, labels, valid in _prefetch(produce()):
         item = (points, labels, valid)
         if staged is not None:
             total += sum(getattr(a, "nbytes", 0)
@@ -454,6 +473,48 @@ def _device_eval_batches(val_dataset, batch_size: int, h2d: str, mesh,
         yield item
     if staged is not None:
         cache[key] = staged
+
+
+def _prefetch(gen, depth: int = 2):
+    """Run a batch-producing generator in a worker thread, `depth` items
+    ahead of the consumer.
+
+    On the streaming sweep the host alternates memmap-read/pack with
+    `device_put`, and each put through the axon tunnel blocks the caller
+    for wire time (~60 ms fixed + bytes/41 MB/s) — serialising host prep
+    behind the transfer. One worker thread overlaps the two (transfers
+    themselves already overlap device compute). GFS3D_NO_PREFETCH=1
+    restores the inline path (and is the honest A/B for the measured
+    effect; see BENCH_LOCAL_r05.json). Exceptions propagate to the
+    consumer; the thread is daemonic so an abandoned sweep cannot hang
+    interpreter exit."""
+    import queue
+    import threading
+
+    from gfs3dseg_gws_tpu.utils.env import env_flag
+
+    if env_flag("GFS3D_NO_PREFETCH"):
+        yield from gen
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:          # noqa: BLE001 — re-raised below
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def validate(model, variables, gp, val_dataset, gened_proto, base_coding,

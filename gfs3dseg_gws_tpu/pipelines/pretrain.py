@@ -34,7 +34,14 @@ from gfs3dseg_gws_tpu.utils.observability import MetricsWriter
 
 def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
              max_steps_per_epoch: Optional[int] = None,
-             export_torch: bool = True) -> Dict:
+             export_torch: bool = True,
+             init_checkpoint_path: str = "") -> Dict:
+    """`init_checkpoint_path` (npz with the full DGCNNSeg params +
+    batch_stats tree) warm-starts the loop from explicit weights — the
+    reference pretrain loop always starts from torch random init
+    (pre_train.py:131), so this is framework-only surface; the
+    cross-framework pretrain trajectory oracle uses it to train both
+    frameworks from matched converted inits."""
     logger = logger or init_logger(pretrain_cfg.log_dir, phase="pretrain")
     writer = MetricsWriter(pretrain_cfg.log_dir)
     if mesh is None and jax.device_count() > 1:
@@ -66,6 +73,11 @@ def pretrain(model_cfg, data_cfg, pretrain_cfg, mesh=None, logger=None,
     x0 = jnp.zeros((2, data_cfg.pc_npts, len(data_cfg.pc_attribs)))
     variables = jit_init(model, {"params": rng, "dropout": rng}, x0,
                          True)
+    if init_checkpoint_path:
+        from gfs3dseg_gws_tpu.utils.checkpoint import (load_checkpoint,
+                                                       restore_into)
+        flat, _ = load_checkpoint(init_checkpoint_path)
+        variables = restore_into(variables, flat, strict=True)
 
     steps_per_epoch = max(len(train_ds) // pretrain_cfg.batch_size, 1)
     tx = make_pretrain_optimizer(pretrain_cfg.lr, steps_per_epoch,

@@ -400,3 +400,70 @@ def test_validate_device_cache_cap_and_disable(setup, monkeypatch):
     assert cache == {}
     for a, b, c in zip(streamed[:4], capped[:4], disabled[:4]):
         assert a == b == c
+
+
+def test_validate_device_cache_keys_on_dataset(setup, monkeypatch):
+    """One cache dict shared across two DIFFERENT datasets must not serve
+    the first dataset's pinned batches as the second's (advisor r4: the
+    key previously omitted dataset identity). Each dataset gets its own
+    entry and its own metrics."""
+    import gfs3dseg_gws_tpu.pipelines.gfs as gfs_mod
+
+    model, variables, gp, ds, *rest = _tiny_model_args(setup)
+    # second dataset: same class tables, fewer blocks, own directory
+    import tempfile
+
+    root2 = tempfile.mkdtemp(prefix="packed_h2d_ds2_")
+    _, test_dir2 = make_synthetic_blocks(root2, n_train_blocks=2,
+                                         n_test_blocks=5,
+                                         points_per_block=1200, seed=77)
+    reg2 = DatasetRegistry("s3dis", 0, test_dir2)
+    names2 = sorted(sorted(reg2.train_classes) + sorted(reg2.test_classes))
+    ds2 = TestingDataset(test_dir2, names2, ds.learning_order,
+                         {c: reg2.class2scans[c] for c in names2},
+                         num_point=NPTS)
+    assert len(ds2) != len(ds)
+
+    calls = {"n": 0}
+    real_eval_batches = gfs_mod.eval_batches
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_eval_batches(*a, **k)
+
+    monkeypatch.setattr(gfs_mod, "eval_batches", counting)
+    cache = {}
+    full = validate(model, variables, gp, ds, *rest, batch_size=4,
+                    h2d="packed", device_cache=cache)
+    half = validate(model, variables, gp, ds2, *rest, batch_size=4,
+                    h2d="packed", device_cache=cache)
+    assert calls["n"] == 2 and len(cache) == 2, \
+        "each dataset must fill its own cache entry"
+    half_fresh = validate(model, variables, gp, ds2, *rest, batch_size=4,
+                          h2d="packed")
+    for a, b in zip(half[:4], half_fresh[:4]):
+        assert a == b
+    np.testing.assert_array_equal(half[4], half_fresh[4])
+    # and the big set's counts differ from the small set's
+    assert not np.array_equal(full[4], half[4])
+
+
+def test_validate_device_cache_bad_env_warns(setup, monkeypatch):
+    """A malformed GFS3D_DEVICE_CACHE_MB downgrades to the 512 MB default
+    with a warning instead of crashing the validation sweep (advisor r4);
+    with caching disabled the env var is never parsed at all."""
+    args = _tiny_model_args(setup)
+    monkeypatch.setenv("GFS3D_DEVICE_CACHE_MB", "lots")
+    # no cache dict -> env var untouched -> no warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        streamed = validate(*args, batch_size=4, h2d="packed")
+    cache = {}
+    with pytest.warns(UserWarning, match="GFS3D_DEVICE_CACHE_MB"):
+        cached = validate(*args, batch_size=4, h2d="packed",
+                          device_cache=cache)
+    assert len(cache) == 1, "fallback default must still pin the set"
+    for a, b in zip(streamed[:4], cached[:4]):
+        assert a == b
