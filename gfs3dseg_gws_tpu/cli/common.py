@@ -9,18 +9,32 @@ from gfs3dseg_gws_tpu.utils.config import DataConfig, ModelConfig, parse_widths
 
 
 def apply_platform_env():
-    """Honour JAX_PLATFORMS for CLI runs.
+    """Honour JAX_PLATFORMS for CLI runs, and persist TPU executables.
 
     Some environments pre-register a TPU plugin that wins over the env var;
     applying the value through jax.config makes `JAX_PLATFORMS=cpu python
     train.py ...` behave as documented.
+
+    On a TPU backend the persistent compile cache is enabled (same policy
+    as bench.py) so repeated CLI invocations reuse the train/eval-step
+    executables. TPU-only: with a cache dir set, XLA:CPU switches to its
+    AOT pipeline and compiles up to 65x slower (measured, CLAUDE.md);
+    host_init independently masks the cache around its CPU init compile.
     """
     plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat and "axon" not in plat:
-        import jax
+    import jax
 
+    if plat and "axon" not in plat:
         try:
             jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+    if jax.default_backend() == "tpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/gfs3d_jax_compile_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
         except Exception:
             pass
 

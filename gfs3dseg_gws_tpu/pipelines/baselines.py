@@ -287,6 +287,8 @@ def episodic_train(kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,
     valid_classes = sorted(bank.classes.tolist())
 
     best_iou = -1.0
+    history = []      # (iteration, valid mean IoU) — the trajectory the
+                      # cross-framework ProtoNet oracle asserts on
     n_iters = min(fs_cfg.n_iters, max_iters or fs_cfg.n_iters)
     rng0 = np.random.default_rng(fs_cfg.seed)
     # defer the per-episode loss sync ~16 dispatches (float() would put a
@@ -310,12 +312,13 @@ def episodic_train(kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,
                                                  valid_classes)
             logger.cprint(f"\n=====[VALID] Loss: {valid_loss:.4f} | "
                           f"Mean IoU: {mean_iou:f} =====\n")
+            history.append({"iteration": it + 1, "miou": float(mean_iou)})
             if mean_iou > best_iou:
                 best_iou = mean_iou
                 logger.cprint("*******************Model Saved****************")
                 learner.save(os.path.join(fs_cfg.log_dir, "checkpoint.npz"),
                              {"iteration": it + 1, "IoU": best_iou})
-    return {"best_iou": best_iou, "learner": learner}
+    return {"best_iou": best_iou, "history": history, "learner": learner}
 
 
 def episodic_eval(kind: str, model_cfg, data_cfg, fs_cfg: FewShotConfig,

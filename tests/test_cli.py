@@ -139,3 +139,21 @@ def test_gfs_train_cli_scannet(tmp_path):
     # k_shot=1: exactly one support shot per novel class materialised
     supp = os.path.join(train_dir, "ValSupp_S0_K1_Seed10", "pcd")
     assert len(os.listdir(supp)) == 6
+
+
+def test_apply_platform_env_no_cpu_compile_cache(monkeypatch):
+    """The persistent compile cache must stay OFF on CPU backends: with a
+    cache dir set, XLA:CPU switches to its AOT pipeline and the same
+    compile runs up to 65x slower (measured r5, CLAUDE.md). On the CPU
+    test backend apply_platform_env must therefore leave the cache dir
+    unset."""
+    import jax
+
+    from gfs3dseg_gws_tpu.cli.common import apply_platform_env
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    before = getattr(jax.config, "jax_compilation_cache_dir", None)
+    apply_platform_env()
+    after = getattr(jax.config, "jax_compilation_cache_dir", None)
+    assert after == before
+    assert after is None or "gfs3d" not in str(after)

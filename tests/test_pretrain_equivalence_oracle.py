@@ -84,22 +84,20 @@ pytestmark = pytest.mark.slow
 
 
 def _import_ref_pretrain():
+    """Load the reference pre_train module. Call ONLY inside
+    `_pretrain_import_scope` (test_e2e_protoeval_oracle): other oracle
+    tests cache the TOP-LEVEL reference's `dataloaders`/`utils` packages
+    in sys.modules, whose MyPretrainDataset has a different item shape —
+    the scope stashes those families around both the import and the run."""
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference tree not available")
-    from ref_shims import install_transforms3d_stub
-
-    install_transforms3d_stub()
     if not hasattr(np, "int"):
         np.int = int
-    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "pretrain"))
-    try:
-        spec = importlib.util.spec_from_file_location(
-            "ref_pre_train_equiv",
-            os.path.join(REFERENCE_ROOT, "pretrain", "runs", "pre_train.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-    finally:
-        sys.path.remove(os.path.join(REFERENCE_ROOT, "pretrain"))
+    spec = importlib.util.spec_from_file_location(
+        "ref_pre_train_equiv",
+        os.path.join(REFERENCE_ROOT, "pretrain", "runs", "pre_train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
     return mod
 
 
@@ -131,31 +129,33 @@ def _parse_ref_history(log_path):
 
 
 def _run_reference(tmp_root, train_dir, init_sd, seed, batch):
-    ref_pt = _import_ref_pretrain()
-    cls = ref_pt.DGCNNSeg
-    orig_init = cls.__init__
-
-    def warm_init(self, args, num_classes):
-        """Reference model, but starting from the shared converted init
-        (the reference loop has no warm-start hook, pre_train.py:131).
-        Patched onto the CLASS, not the module global: the reference's
-        __init__ resolves `super(DGCNNSeg, self)` through the module-global
-        name, so replacing that global with a wrapper breaks super()."""
-        orig_init(self, args, num_classes)
-        self.load_state_dict(init_sd)
+    from test_e2e_protoeval_oracle import _pretrain_import_scope
 
     log_dir = os.path.join(tmp_root, f"ref_pretrain_s{seed}")
     os.makedirs(log_dir, exist_ok=True)
-    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "pretrain"))
-    cls.__init__ = warm_init
-    try:
-        torch.manual_seed(seed)
-        np.random.seed(seed)
-        random.seed(seed)
-        ref_pt.pretrain(_ref_args(train_dir, log_dir, seed, batch))
-    finally:
-        cls.__init__ = orig_init
-        sys.path.remove(os.path.join(REFERENCE_ROOT, "pretrain"))
+    with _pretrain_import_scope():
+        ref_pt = _import_ref_pretrain()
+        cls = ref_pt.DGCNNSeg
+        orig_init = cls.__init__
+
+        def warm_init(self, args, num_classes):
+            """Reference model, but starting from the shared converted
+            init (the reference loop has no warm-start hook,
+            pre_train.py:131). Patched onto the CLASS, not the module
+            global: the reference's __init__ resolves
+            `super(DGCNNSeg, self)` through the module-global name, so
+            replacing that global with a wrapper breaks super()."""
+            orig_init(self, args, num_classes)
+            self.load_state_dict(init_sd)
+
+        cls.__init__ = warm_init
+        try:
+            torch.manual_seed(seed)
+            np.random.seed(seed)
+            random.seed(seed)
+            ref_pt.pretrain(_ref_args(train_dir, log_dir, seed, batch))
+        finally:
+            cls.__init__ = orig_init
     return _parse_ref_history(os.path.join(log_dir, "log_pretrain.txt"))
 
 
@@ -239,14 +239,17 @@ def shared_setup(tmp_path_factory):
         cover += np_.bincount(np_.unique(lbl), minlength=len(cls) + 1)
     assert (cover >= 2).all(), cover
 
-    ref_pt = _import_ref_pretrain()
-    torch.manual_seed(5)
-    args = types.SimpleNamespace(
-        edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
-        dgcnn_mlp_widths=list(MLP_WIDTHS), pc_in_dim=9, dgcnn_k=20)
-    n_base = 7                      # s3dis fold-0 train classes
-    ref_model = ref_pt.DGCNNSeg(args, n_base + 1)
-    init_sd = {k: v.clone() for k, v in ref_model.state_dict().items()}
+    from test_e2e_protoeval_oracle import _pretrain_import_scope
+
+    with _pretrain_import_scope():
+        ref_pt = _import_ref_pretrain()
+        torch.manual_seed(5)
+        args = types.SimpleNamespace(
+            edgeconv_widths=[list(w) for w in EDGE_WIDTHS],
+            dgcnn_mlp_widths=list(MLP_WIDTHS), pc_in_dim=9, dgcnn_k=20)
+        n_base = 7                  # s3dis fold-0 train classes
+        ref_model = ref_pt.DGCNNSeg(args, n_base + 1)
+        init_sd = {k: v.clone() for k, v in ref_model.state_dict().items()}
 
     enc_sd = {k[len("encoder."):]: v for k, v in init_sd.items()
               if k.startswith("encoder.")}
