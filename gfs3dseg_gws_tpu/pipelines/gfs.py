@@ -50,6 +50,7 @@ from gfs3dseg_gws_tpu.parallel import (
     shard_stacked_batch,
 )
 from gfs3dseg_gws_tpu.parallel.steps import (cached_int32, cached_step,
+                                             make_gfs_eval_scan_step,
                                              pack_quantized_parts)
 from gfs3dseg_gws_tpu.utils.checkpoint import (
     load_basis,
@@ -426,8 +427,7 @@ def _device_eval_batches(val_dataset, batch_size: int, h2d: str, mesh,
 
     if cache is not None and env_flag("GFS3D_NO_DEVICE_CACHE"):
         cache = None
-    key = ("eval_set", id(val_dataset), len(val_dataset), batch_size,
-           _h2d_mode(h2d), mesh is None)
+    key = _cache_key(val_dataset, batch_size, h2d, mesh)
     if cache is not None and key in cache:
         yield from cache[key]
         return
@@ -473,6 +473,46 @@ def _device_eval_batches(val_dataset, batch_size: int, h2d: str, mesh,
         yield item
     if staged is not None:
         cache[key] = staged
+
+
+def _cache_key(val_dataset, batch_size: int, h2d: str, mesh):
+    return ("eval_set", id(val_dataset), len(val_dataset), batch_size,
+            _h2d_mode(h2d), mesh is None)
+
+
+def _stacked_eval_cache(cache, val_dataset, batch_size: int, h2d: str,
+                        mesh):
+    """Device-STACKED form of a completed eval cache entry, built once:
+    (points (S,B,...), labels (same array in single-buffer packed mode),
+    valids (S,) i32). Lets the whole pinned sweep run as one `lax.scan`
+    dispatch (parallel/steps.py::make_gfs_eval_scan_step) instead of S
+    dispatches + S tiny D2H fetches — the measured 1,713-vs-1,838 blocks/s
+    gap of the cached e2e sweep. Single-device only: the per-batch entries
+    on a mesh carry their own shardings and an eager jnp.stack would
+    re-gather them."""
+    from gfs3dseg_gws_tpu.utils.env import env_flag
+
+    if (cache is None or mesh is not None
+            or env_flag("GFS3D_NO_DEVICE_CACHE")
+            or env_flag("GFS3D_NO_SCAN_EVAL")):
+        return None
+    key = _cache_key(val_dataset, batch_size, h2d, mesh)
+    skey = key + ("stacked",)
+    if skey in cache:
+        return cache[skey]
+    items = cache.get(key)
+    if not items:
+        return None
+    if any(it[0].shape != items[0][0].shape for it in items):
+        return None      # defensive: pad_final should make shapes uniform
+    pts = jnp.stack([it[0] for it in items])
+    if all(it[1] is it[0] for it in items):
+        lbs = pts                      # packed single-buffer mode
+    else:
+        lbs = jnp.stack([it[1] for it in items])
+    valids = jnp.asarray([it[2] for it in items], jnp.int32)
+    cache[skey] = (pts, lbs, valids)
+    return cache[skey]
 
 
 def _prefetch(gen, depth: int = 2):
@@ -551,15 +591,26 @@ def validate(model, variables, gp, val_dataset, gened_proto, base_coding,
         gp_acc_m.update(float(flat[-2]))
         gp_nacc_m.update(float(flat[-1]))
 
-    results = []
-    for points, labels, valid in _device_eval_batches(
-            val_dataset, batch_size, h2d, mesh, device_cache):
-        results.append(eval_step(variables_d, points, labels, *args_rep,
-                                 cached_int32(valid)))
-        if len(results) > 48:
-            consume(results.pop(0))
-    for res in results:
-        consume(res)
+    stacked = _stacked_eval_cache(device_cache, val_dataset, batch_size,
+                                  h2d, mesh)
+    if stacked is not None:
+        # whole pinned sweep in ONE dispatch + ONE (S, C*C+2) fetch
+        scan_step = cached_step(make_gfs_eval_scan_step, model,
+                                num_classes, mesh, multi=False)
+        rows = np.asarray(scan_step(variables_d, stacked[0], stacked[1],
+                                    *args_rep, stacked[2]), np.float64)
+        for row in rows:
+            consume(row)
+    else:
+        results = []
+        for points, labels, valid in _device_eval_batches(
+                val_dataset, batch_size, h2d, mesh, device_cache):
+            results.append(eval_step(variables_d, points, labels,
+                                     *args_rep, cached_int32(valid)))
+            if len(results) > 48:
+                consume(results.pop(0))
+        for res in results:
+            consume(res)
     mean_iou, base_iou, novel_iou, hm, iou_list = gfs_miou(
         cm, all_learning_order, novel_class_names, scannet=scannet)
     if logger:
@@ -599,15 +650,26 @@ def validate_multi(model, variables, gp, val_dataset, gened_protos,
         gp_acc_m.update(float(np.mean(flat[:, -2])))
         gp_nacc_m.update(float(np.mean(flat[:, -1])))
 
-    results = []
-    for points, labels, valid in _device_eval_batches(
-            val_dataset, batch_size, h2d, mesh, device_cache):
-        results.append(eval_step(variables_d, points, labels, *args_rep,
-                                 cached_int32(valid)))
-        if len(results) > 48:
-            consume(results.pop(0))
-    for res in results:
-        consume(res)
+    stacked = _stacked_eval_cache(device_cache, val_dataset, batch_size,
+                                  h2d, mesh)
+    if stacked is not None:
+        # whole pinned sweep in ONE dispatch (see validate())
+        scan_step = cached_step(make_gfs_eval_scan_step, model,
+                                num_classes, mesh, multi=True)
+        rows = np.asarray(scan_step(variables_d, stacked[0], stacked[1],
+                                    *args_rep, stacked[2]), np.float64)
+        for row in rows:                     # (S_batches, seeds, C*C+2)
+            consume(row)
+    else:
+        results = []
+        for points, labels, valid in _device_eval_batches(
+                val_dataset, batch_size, h2d, mesh, device_cache):
+            results.append(eval_step(variables_d, points, labels,
+                                     *args_rep, cached_int32(valid)))
+            if len(results) > 48:
+                consume(results.pop(0))
+        for res in results:
+            consume(res)
     if logger:
         logger.cprint(f"---------- gp acc: {gp_acc_m.avg:.4f}, "
                       f"gp_novel_acc: {gp_nacc_m.avg:.4f} ----------")

@@ -365,10 +365,15 @@ def test_validate_device_cache_matches_and_skips_host_path(setup,
         calls["n"] += 1
         return real_eval_batches(*a, **k)
 
+    def entry_keys(c):
+        # the single-dispatch scan path adds a derived "stacked" form per
+        # entry on the first cached reuse; count base entries only
+        return [k for k in c if k[-1] != "stacked"]
+
     monkeypatch.setattr(gfs_mod, "eval_batches", counting)
     cache = {}
     first = validate(*args, batch_size=4, h2d="packed", device_cache=cache)
-    assert calls["n"] == 1 and len(cache) == 1
+    assert calls["n"] == 1 and len(entry_keys(cache)) == 1
     second = validate(*args, batch_size=4, h2d="packed", device_cache=cache)
     assert calls["n"] == 1, "cached sweep must not re-read the host data"
     for a, b, c in zip(streamed[:4], first[:4], second[:4]):
@@ -376,7 +381,7 @@ def test_validate_device_cache_matches_and_skips_host_path(setup,
     np.testing.assert_array_equal(streamed[4], second[4])
     # a different batch size is a different key — no stale-shape reuse
     other = validate(*args, batch_size=3, h2d="packed", device_cache=cache)
-    assert calls["n"] == 2 and len(cache) == 2
+    assert calls["n"] == 2 and len(entry_keys(cache)) == 2
     for a, b in zip(streamed[:4], other[:4]):
         np.testing.assert_allclose(b, a, rtol=0.05, atol=0.02)
 
@@ -467,3 +472,32 @@ def test_validate_device_cache_bad_env_warns(setup, monkeypatch):
     assert len(cache) == 1, "fallback default must still pin the set"
     for a, b in zip(streamed[:4], cached[:4]):
         assert a == b
+
+
+def test_validate_multi_device_cache_scan_matches(setup):
+    """The multi-seed cached sweep's single-dispatch scan path
+    (make_gfs_eval_scan_step, multi=True) is metric-identical to the
+    per-batch streaming path for every seed."""
+    from gfs3dseg_gws_tpu.pipelines.gfs import validate_multi
+
+    model, variables, gp, ds, gened, base_c, novel_c, order, novel, ncls = \
+        _tiny_model_args(setup)
+    geneds = np.stack([gened, gened * 0.9 + 0.1])
+    novels = np.stack([novel_c, novel_c])
+    streamed = validate_multi(model, variables, gp, ds, geneds, base_c,
+                              novels, order, novel, ncls, batch_size=4,
+                              h2d="packed")
+    cache = {}
+    # first call fills the per-batch cache; second reuses it via the scan
+    validate_multi(model, variables, gp, ds, geneds, base_c, novels,
+                   order, novel, ncls, batch_size=4, h2d="packed",
+                   device_cache=cache)
+    scanned = validate_multi(model, variables, gp, ds, geneds, base_c,
+                             novels, order, novel, ncls, batch_size=4,
+                             h2d="packed", device_cache=cache)
+    assert any(k[-1] == "stacked" for k in cache), \
+        "scan path did not engage"
+    for s_row, c_row in zip(streamed, scanned):
+        for a, b in zip(s_row[:4], c_row[:4]):
+            assert a == b
+        np.testing.assert_array_equal(s_row[4], c_row[4])
