@@ -32,17 +32,19 @@ while our sweep pads and scores all V (pipelines/pretrain.py); the block
 counts below make V divisible by the batch size so both frameworks score
 the identical valid set.
 
-Calibration (this exact setup, 2 seeds, 2026-08): ref finals (mIoU) =
-[0.654, 0.742] (first evals 0.485/0.318), ours = [0.740, 0.807] (first
-evals ~0.457) — overlapping bands, within-framework seed spread up to
-0.089 (the reference's, at 14 epochs on 2-block batches). Mutation
-evidence (measured, seed 321, our loop): lr/100 (1e-5) -> final 0.150,
-fails LEARN_FLOOR; weight_decay x1000 (0.1) -> final 0.470, fails BOTH
-the floor and the band (gap 0.184 > pad 0.139). Sensitivity boundary,
-recorded honestly: lr x10 (0.01) still converges to 0.641 at this
-synthetic scale and is NOT detected — the loss surface here is forgiving
-of a hot learning rate; the GFS trajectory oracle catches base_lr
-composition errors on its own setup instead.
+Calibration (this exact setup, 2 seeds, 2026-08): ref finals (mIoU)
+[0.654, 0.742] in one pytest process and [0.539, 0.737] in another — the
+reference's block order is `list(set(...))`
+(pretrain/dataloaders/loader.py:399), so its trajectory follows the
+per-PROCESS string-hash seed on top of the torch seed; ours = [0.740,
+0.807] (first evals ~0.457), reproducible. Mutation evidence (measured,
+seed 321, our loop): lr/100 (1e-5) -> final 0.150 and weight_decay
+x1000 (0.1) -> final 0.470, both below OUR 0.55 floor (the wd mutation
+also failed the band in the tighter-ref-spread process). Sensitivity
+boundary, recorded honestly: lr x10 (0.01) still converges to 0.641 at
+this synthetic scale and is NOT detected — the loss surface here is
+forgiving of a hot learning rate; the GFS trajectory oracle catches
+base_lr composition errors on its own setup instead.
 """
 import importlib.util
 import os
@@ -279,11 +281,16 @@ def test_pretrains_to_the_same_quality_basin(shared_setup, monkeypatch):
     print(f"\nref first evals: {ref_first} finals: {ref_final}"
           f"\nour first evals: {our_first} finals: {our_final}")
 
-    # 1) every run learned (calibration: finals 0.654-0.807, first evals
-    #    0.32-0.49; mutations land at 0.150 / 0.470 — floor sits between
-    #    the strongest detected mutation and the weakest healthy run)
+    # 1) every run learned. OUR floor is the mutation detector (healthy
+    #    finals 0.740-0.807; mutations land at 0.150 / 0.470). The
+    #    REFERENCE gets a lower sanity floor: its MyPretrainDataset block
+    #    order is `list(set(...))` (pretrain/dataloaders/loader.py:399),
+    #    which follows the per-PROCESS string-hash seed — measured ref
+    #    finals for the same torch seed span 0.539-0.742 across pytest
+    #    processes, so a tight ref floor would flake on hash order.
     LEARN_FLOOR = 0.55
-    assert ref_final.min() >= LEARN_FLOOR, ref_final
+    REF_FLOOR = 0.40
+    assert ref_final.min() >= REF_FLOOR, ref_final
     assert our_final.min() >= LEARN_FLOOR, our_final
     assert (our_final > our_first).all(), (our_first, our_final)
 
