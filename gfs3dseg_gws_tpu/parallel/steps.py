@@ -125,7 +125,15 @@ def host_init(model, rngs, *args, **kwargs):
     one packed buffer (`device_put_packed`). The TPU then only ever
     compiles the train/eval steps. Models with a `use_pallas` flag are
     cloned to the XLA fallback for the CPU trace (Mosaic kernels don't
-    lower on CPU); this cannot change the produced params."""
+    lower on CPU); this cannot change the produced params.
+
+    Cross-backend bit-exactness caveat (measured on the v5e,
+    scripts/check_host_init.py): the threefry random BITS are
+    platform-invariant, but the TPU's erfinv rounds the uniform->normal
+    transform differently, so normal-drawn leaves agree with an on-device
+    init to ~2.2e-5 rather than bitwise — distribution-identical draws
+    from the same bits, immaterial for a random init (checkpoint restore
+    bypasses init values entirely). The TPU gate bounds it at 1e-4."""
     static, dyn = _split_static_bools(args, kwargs)
     m = model
     if getattr(model, "use_pallas", False):

@@ -22,10 +22,16 @@ run() {
   fi
 }
 
-run "probe" timeout 120 python -c "
+# Attach stall: the FIRST device sync of a fresh process can block up to
+# ~15 min inside axon server recovery after a previous process's detach
+# (CLAUDE.md) — the probe's generous timeout absorbs it so a stalled
+# attach doesn't get timeout-killed (which would poison the tunnel for
+# every later stage).
+run "probe (absorbs attach stall)" timeout 1200 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128,128)); print('TPU OK', float((x@x).sum()))"
 
+run "host-init equality gate" timeout 600 python scripts/check_host_init.py
 run "attention-dropout gate" timeout 600 python scripts/check_attention_dropout.py
 run "fused-train-kernel gate" timeout 600 python scripts/check_train_kernels.py
 run "bench eval" timeout 600 python bench.py
