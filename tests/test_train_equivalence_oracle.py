@@ -33,7 +33,13 @@ Calibration (this exact setup, 2026-08): ref finals (mean/base/novel) =
 [0.448, 0.597, 0.275] and [0.449, 0.604, 0.268]; ours = [0.416, 0.597,
 0.205] and [0.415, 0.561, 0.243]; first evals 0.15-0.23. Within-framework
 seed spread is tiny (<0.01 mean), the cross-framework mean gap ~0.03 — the
-by-construction RNG-stream deviation, well inside ATOL.
+by-construction RNG-stream deviation, well inside ATOL. Known extra
+variance source on the REFERENCE side (diagnosed r5 on the pretrain
+oracle): its datasets order blocks via `list(set(...))`, so the ref
+trajectory also follows the per-PROCESS string-hash seed — if this test
+ever flakes near a band edge across pytest processes, suspect hash order
+before suspecting the frameworks (see
+test_pretrain_equivalence_oracle.py's split floors for the pattern).
 
 Mutation evidence (measured, single seed 321): zeroing the encoder
 learning-rate group (encoder_lr_scale=0 vs the reference's 0.1,
