@@ -29,7 +29,12 @@ def apply_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
-    if jax.default_backend() == "tpu":
+    # decide TPU-ness from the env string alone: calling
+    # jax.default_backend() here would initialise the backend before
+    # argparse even runs, making `--help` block on the axon attach stall
+    # (60-900 s after a previous TPU process's detach) and freezing the
+    # platform choice for the whole process
+    if plat and ("tpu" in plat or "axon" in plat):
         try:
             jax.config.update("jax_compilation_cache_dir",
                               "/tmp/gfs3d_jax_compile_cache")

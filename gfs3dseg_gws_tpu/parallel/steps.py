@@ -189,10 +189,9 @@ def jit_init(model, rngs, *args, **kwargs):
     array kwarg would be baked into the compiled program as a constant).
     Builds a fresh jit per call by design — init runs once per process;
     repeated jitted steps belong in cached_step."""
-    import os
+    from gfs3dseg_gws_tpu.utils.env import env_flag
 
-    if jax.default_backend() != "cpu" and not os.environ.get(
-            "GFS3D_DEVICE_INIT"):
+    if jax.default_backend() != "cpu" and not env_flag("GFS3D_DEVICE_INIT"):
         return host_init(model, rngs, *args, **kwargs)
     static, dyn = _split_static_bools(args, kwargs)
 

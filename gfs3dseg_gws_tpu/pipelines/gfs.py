@@ -431,6 +431,16 @@ def _device_eval_batches(val_dataset, batch_size: int, h2d: str, mesh,
     if cache is not None and key in cache:
         yield from cache[key]
         return
+    skey = key + ("stacked",)
+    if cache is not None and skey in cache:
+        # the entry was consolidated into its stacked form (scan path);
+        # serve per-batch slices so a caller that disabled the scan
+        # mid-run does not re-stream + re-stage the whole set
+        pts, lbs, valids = cache[skey]
+        for i in range(pts.shape[0]):
+            p = pts[i]
+            yield p, (p if lbs is pts else lbs[i]), int(valids[i])
+        return
     staged = [] if cache is not None else None
     cap = 512.0
     if staged is not None:
@@ -476,7 +486,12 @@ def _device_eval_batches(val_dataset, batch_size: int, h2d: str, mesh,
 
 
 def _cache_key(val_dataset, batch_size: int, h2d: str, mesh):
-    return ("eval_set", id(val_dataset), len(val_dataset), batch_size,
+    # the dataset OBJECT rides in the key (default identity hash): a
+    # strong reference, so a freed dataset's id can never be recycled into
+    # serving another dataset's pinned batches (r5 advisor-style hazard
+    # with raw id()); cache dicts are per-run, so the extra liveness is
+    # bounded by the run
+    return ("eval_set", val_dataset, len(val_dataset), batch_size,
             _h2d_mode(h2d), mesh is None)
 
 
@@ -489,7 +504,14 @@ def _stacked_eval_cache(cache, val_dataset, batch_size: int, h2d: str,
     dispatches + S tiny D2H fetches — the measured 1,713-vs-1,838 blocks/s
     gap of the cached e2e sweep. Single-device only: the per-batch entries
     on a mesh carry their own shardings and an eager jnp.stack would
-    re-gather them."""
+    re-gather them.
+
+    Memory discipline: stacking REPLACES the per-batch entry (the old
+    buffers free once their eval steps retire), so steady-state HBM stays
+    one copy of the pinned set — the build transiently holds two, which
+    the GFS3D_DEVICE_CACHE_MB cap must cover or stacking is skipped.
+    `_device_eval_batches` serves per-batch slices out of the stacked
+    form if a later caller disables the scan path mid-run."""
     from gfs3dseg_gws_tpu.utils.env import env_flag
 
     if (cache is None or mesh is not None
@@ -505,6 +527,15 @@ def _stacked_eval_cache(cache, val_dataset, batch_size: int, h2d: str,
         return None
     if any(it[0].shape != items[0][0].shape for it in items):
         return None      # defensive: pad_final should make shapes uniform
+    total = sum(it[0].nbytes for it in items) \
+        + sum(0 if it[1] is it[0] else it[1].nbytes for it in items)
+    raw = os.environ.get("GFS3D_DEVICE_CACHE_MB", "512")
+    try:
+        cap = float(raw) * 2**20
+    except ValueError:
+        cap = 512.0 * 2**20
+    if 2 * total > cap:
+        return None      # the transient second copy would bust the cap
     pts = jnp.stack([it[0] for it in items])
     if all(it[1] is it[0] for it in items):
         lbs = pts                      # packed single-buffer mode
@@ -512,6 +543,7 @@ def _stacked_eval_cache(cache, val_dataset, batch_size: int, h2d: str,
         lbs = jnp.stack([it[1] for it in items])
     valids = jnp.asarray([it[2] for it in items], jnp.int32)
     cache[skey] = (pts, lbs, valids)
+    del cache[key]       # per-batch buffers free as their consumers retire
     return cache[skey]
 
 
@@ -526,8 +558,11 @@ def _prefetch(gen, depth: int = 2):
     themselves already overlap device compute). GFS3D_NO_PREFETCH=1
     restores the inline path (and is the honest A/B for the measured
     effect; see BENCH_LOCAL_r05.json). Exceptions propagate to the
-    consumer; the thread is daemonic so an abandoned sweep cannot hang
-    interpreter exit."""
+    consumer. If the CONSUMER dies early (an eval step raising mid-sweep
+    abandons this generator at its yield), the stop event set in the
+    finally block releases the worker within one put timeout — without
+    it the worker would block in q.put forever, pinning its in-flight
+    device batches for the rest of the process."""
     import queue
     import threading
 
@@ -538,23 +573,37 @@ def _prefetch(gen, depth: int = 2):
         return
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(done)
+                if not put(item):
+                    return
+            put(done)
         except BaseException as e:          # noqa: BLE001 — re-raised below
-            q.put(e)
+            put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def validate(model, variables, gp, val_dataset, gened_proto, base_coding,

@@ -366,9 +366,10 @@ def test_validate_device_cache_matches_and_skips_host_path(setup,
         return real_eval_batches(*a, **k)
 
     def entry_keys(c):
-        # the single-dispatch scan path adds a derived "stacked" form per
-        # entry on the first cached reuse; count base entries only
-        return [k for k in c if k[-1] != "stacked"]
+        # the single-dispatch scan path CONSOLIDATES an entry into its
+        # "stacked" form on the first cached reuse (replacing the
+        # per-batch list to keep HBM at one copy); count logical entries
+        return {k[:-1] if k[-1] == "stacked" else k for k in c}
 
     monkeypatch.setattr(gfs_mod, "eval_batches", counting)
     cache = {}
@@ -501,3 +502,34 @@ def test_validate_multi_device_cache_scan_matches(setup):
         for a, b in zip(s_row[:4], c_row[:4]):
             assert a == b
         np.testing.assert_array_equal(s_row[4], c_row[4])
+
+
+def test_validate_scan_disable_midrun_serves_from_stacked(setup,
+                                                          monkeypatch):
+    """After an entry is consolidated into its stacked form, a caller that
+    disables the scan path mid-run (GFS3D_NO_SCAN_EVAL=1) must be served
+    per-batch slices of the stacked buffers — same metrics, no host
+    re-stream."""
+    import gfs3dseg_gws_tpu.pipelines.gfs as gfs_mod
+
+    args = _tiny_model_args(setup)
+    streamed = validate(*args, batch_size=4, h2d="packed")
+    cache = {}
+    validate(*args, batch_size=4, h2d="packed", device_cache=cache)
+    validate(*args, batch_size=4, h2d="packed", device_cache=cache)
+    assert any(k[-1] == "stacked" for k in cache)
+
+    calls = {"n": 0}
+    real = gfs_mod.eval_batches
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(gfs_mod, "eval_batches", counting)
+    monkeypatch.setenv("GFS3D_NO_SCAN_EVAL", "1")
+    noscan = validate(*args, batch_size=4, h2d="packed", device_cache=cache)
+    assert calls["n"] == 0, "must serve from the stacked cache, not host"
+    for a, b in zip(streamed[:4], noscan[:4]):
+        assert a == b
+    np.testing.assert_array_equal(streamed[4], noscan[4])
